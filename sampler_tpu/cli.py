@@ -1,0 +1,248 @@
+"""dw-compatible command-line interface.
+
+Mirrors the reference CLI (SURVEY.md §2d; ref: src/cmd_parser.cc — recalled):
+
+  dw gibbs -w weights.bin -v variables.bin -f factors.bin -m graph.meta
+           [--domains d.bin] -o outdir -l epochs -i epochs -s sweeps
+           -a stepsize -d diminish -b burn_in [--n_chains N]
+           [--regularization l1|l2] [--reg_param λ]
+           [--sample_evidence] [--learn_non_evidence] [--quiet]
+  dw text2bin {weight|variable|factor|domain} in.tsv out.bin
+  dw bin2text ...
+
+TPU-era flags replace thread flags: ``-t/--n_threads`` and
+``-c/--n_datacopy`` are accepted for drop-in compatibility but map to
+``--n_chains`` (independent chains) — the TPU equivalent of thread/NUMA
+parallelism (SURVEY.md §2 parallelism table).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dw", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gibbs", help="learning + marginal inference")
+    g.add_argument("-w", "--weights", required=True)
+    g.add_argument("-v", "--variables", required=True)
+    g.add_argument("-f", "--factors", required=True)
+    g.add_argument("-m", "--meta", required=True)
+    g.add_argument("--domains", default=None)
+    g.add_argument("-o", "--outdir", required=True)
+    g.add_argument("-l", "--n_learning_epoch", type=int, default=0)
+    g.add_argument("-i", "--n_inference_epoch", type=int, default=500)
+    g.add_argument("-s", "--n_samples_per_learning_epoch", type=int, default=1)
+    g.add_argument("-a", "--alpha", "--stepsize", dest="alpha", type=float,
+                   default=0.01)
+    g.add_argument("-d", "--diminish", type=float, default=0.95)
+    g.add_argument("-b", "--burn_in", type=int, default=0)
+    g.add_argument("-t", "--n_threads", type=int, default=None,
+                   help="compat alias for --n_chains")
+    g.add_argument("-c", "--n_datacopy", type=int, default=None,
+                   help="compat alias (NUMA replicas → chains)")
+    g.add_argument("--n_chains", type=int, default=1)
+    g.add_argument("--regularization", choices=["l1", "l2"], default=None)
+    g.add_argument("--reg_param", type=float, default=0.0)
+    g.add_argument("--sample_evidence", action="store_true")
+    g.add_argument("--learn_non_evidence", action="store_true")
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--quiet", "-q", action="store_true")
+
+    for name in ("text2bin", "bin2text"):
+        c = sub.add_parser(name)
+        c.add_argument("relation", choices=["weight", "variable", "factor",
+                                            "domain"])
+        c.add_argument("input")
+        c.add_argument("output")
+
+    return p
+
+
+def cmd_gibbs(args) -> int:
+    import jax
+
+    from .compile import compile_graph, to_device
+    from .engine.gibbs import infer, init_values, run_sweeps
+    from .engine.learn import LearnConfig, learn
+    from .io import binary, results
+
+    log = (lambda *a: None) if args.quiet else (lambda *a: print(*a, flush=True))
+
+    t0 = time.time()
+    graph = binary.load_graph(args.meta, domains_path=args.domains)
+    log(f"loaded graph: {graph.n_vars} vars, {graph.n_factors} factors, "
+        f"{graph.n_weights} weights, {graph.n_edges} edges "
+        f"[{time.time()-t0:.2f}s]")
+
+    t0 = time.time()
+    dg, info = compile_graph(graph)
+    dgj = to_device(dg)
+    log(f"compiled: {info.n_colors} colors, block {info.block_size}, "
+        f"degree {info.max_degree}, arity {info.max_arity} "
+        f"[{time.time()-t0:.2f}s]")
+
+    key = jax.random.PRNGKey(args.seed)
+    k_learn, k_inf = jax.random.split(key)
+    weights = dgj.w_init
+
+    n_chains = args.n_chains
+    if args.n_threads:
+        n_chains = max(n_chains, args.n_threads)
+
+    if args.n_learning_epoch > 0:
+        t0 = time.time()
+        cfg = LearnConfig(
+            n_epochs=args.n_learning_epoch,
+            n_sweeps_per_epoch=args.n_samples_per_learning_epoch,
+            stepsize=args.alpha,
+            diminish=args.diminish,
+            regularization=args.regularization or "none",
+            reg_param=args.reg_param,
+            learn_non_evidence=args.learn_non_evidence,
+        )
+        weights, _, _ = learn(dgj, weights, k_learn, cfg, info.max_card)
+        weights.block_until_ready()
+        dt = time.time() - t0
+        sweeps = args.n_learning_epoch * cfg.n_sweeps_per_epoch
+        log(f"learning: {sweeps} sweeps in {dt:.2f}s "
+            f"({sweeps * graph.n_vars / max(dt, 1e-9):.3g} vars/s)")
+
+    t0 = time.time()
+    marg, _ = infer(dgj, weights, k_inf, n_burn=args.burn_in,
+                    n_sweeps=args.n_inference_epoch, K=info.max_card,
+                    sample_evidence=args.sample_evidence, n_chains=n_chains)
+    marg = np.asarray(jax.block_until_ready(marg))
+    dt = time.time() - t0
+    total = (args.burn_in + args.n_inference_epoch) * graph.n_vars * n_chains
+    log(f"inference: {args.n_inference_epoch} sweeps x {n_chains} chains in "
+        f"{dt:.2f}s ({total / max(dt, 1e-9):.3g} vars/s)")
+
+    os.makedirs(args.outdir, exist_ok=True)
+    results.write_marginals(graph, marg,
+                            os.path.join(args.outdir, "inference_result.out.text"))
+    results.write_weights_out(np.asarray(weights),
+                              os.path.join(args.outdir,
+                                           "inference_result.out.weights.text"))
+    log(f"wrote {args.outdir}/inference_result.out.text")
+    return 0
+
+
+def cmd_text2bin(args) -> int:
+    # Single-relation conversion: read TSV lines, write binary records.
+    from .io import binary, text
+    lines = [ln.rstrip("\n") for ln in open(args.input) if ln.strip()]
+    empty = []
+    if args.relation == "weight":
+        g = text.text_to_graph(lines, ["0\t0\t0\t0\t2"], [], empty)
+        binary.write_weights(g, args.output)
+    elif args.relation == "variable":
+        g = text.text_to_graph(["0\t0\t0"], lines, [], empty)
+        binary.write_variables(g, args.output)
+    elif args.relation == "factor":
+        # needs enough variables/weights to validate: infer from content
+        g = _graph_from_factor_lines(lines)
+        binary.write_factors(g, args.output)
+    elif args.relation == "domain":
+        import numpy as np
+        from .graph import FactorGraph
+        doms = {}
+        maxv = 0
+        for ln in lines:
+            parts = ln.split("\t")
+            vid, c = int(parts[0]), int(parts[1])
+            doms[vid] = np.asarray([int(x) for x in parts[2:2 + c]], np.int64)
+            maxv = max(maxv, vid)
+        g = _dummy_graph(maxv + 1)
+        g.domains = doms
+        binary.write_domains(g, args.output)
+    return 0
+
+
+def cmd_bin2text(args) -> int:
+    from .io import binary, text
+    out_lines = []
+    if args.relation == "weight":
+        w_init, w_fixed = binary.read_weights(args.input)
+        out_lines = [f"{i}\t{int(f)}\t{v:.17g}"
+                     for i, (f, v) in enumerate(zip(w_fixed, w_init))]
+    elif args.relation == "variable":
+        role, init, dtype, card = binary.read_variables(args.input)
+        out_lines = [f"{i}\t{int(role[i])}\t{int(init[i])}\t{int(dtype[i])}\t"
+                     f"{int(card[i])}" for i in range(len(role))]
+    elif args.relation == "factor":
+        f_type, f_wid, f_feat, f_ptr, e_vid, e_ispos, e_eq = \
+            binary.read_factors(args.input)
+        from . import format_spec as fs
+        for f in range(len(f_type)):
+            lo, hi = int(f_ptr[f]), int(f_ptr[f + 1])
+            cat = int(f_type[f]) in fs.CATEGORICAL_FUNCS
+            edges = []
+            for e in range(lo, hi):
+                tok = f"{int(e_vid[e])}:{int(e_ispos[e])}"
+                if cat:
+                    tok += f":{int(e_eq[e])}"
+                edges.append(tok)
+            out_lines.append("\t".join(
+                [str(int(f_type[f])), str(int(f_wid[f])),
+                 f"{float(f_feat[f]):.17g}"] + edges))
+    elif args.relation == "domain":
+        doms = binary.read_domains(args.input)
+        out_lines = ["\t".join([str(v), str(len(vals))] +
+                               [str(int(x)) for x in vals])
+                     for v, vals in sorted(doms.items())]
+    with open(args.output, "w") as fp:
+        fp.write("\n".join(out_lines) + ("\n" if out_lines else ""))
+    return 0
+
+
+def _dummy_graph(n_vars: int):
+    from . import format_spec as fs
+    from .graph import FactorGraph
+    return FactorGraph.build(var_card=[2] * max(n_vars, 1), weights=[0.0],
+                             factors=[(fs.FUNC_ISTRUE, 0, 1.0, [(0, True)])])
+
+
+def _graph_from_factor_lines(lines):
+    from .io import text
+    max_vid, max_wid = 0, 0
+    for ln in lines:
+        parts = ln.split("\t")
+        max_wid = max(max_wid, int(parts[1]))
+        for tok in parts[3:]:
+            max_vid = max(max_vid, int(tok.split(":")[0]))
+    n_vars, n_w = max_vid + 1, max_wid + 1
+    variables = [f"{i}\t0\t0\t0\t2" for i in range(n_vars)]
+    # cardinality unknown from factor lines alone; use a permissive bound so
+    # categorical eqpreds validate
+    max_eq = 1
+    for ln in lines:
+        for tok in ln.split("\t")[3:]:
+            bits = tok.split(":")
+            if len(bits) > 2:
+                max_eq = max(max_eq, int(bits[2]))
+    if max_eq > 1:
+        variables = [f"{i}\t0\t0\t1\t{max_eq + 1}" for i in range(n_vars)]
+    weights = [f"{i}\t0\t0" for i in range(n_w)]
+    return text.text_to_graph(weights, variables, lines, [])
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "gibbs":
+        return cmd_gibbs(args)
+    if args.cmd == "text2bin":
+        return cmd_text2bin(args)
+    if args.cmd == "bin2text":
+        return cmd_bin2text(args)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,248 @@
+"""Binary factor-graph format reader/writer.
+
+Implements the DimmWitted on-disk contract (SURVEY.md §2a; ref:
+src/binary_format.cc read_weights/read_variables/read_factors/read_domains —
+recalled): five big-endian files + a metadata CSV.  All byte widths come
+from format_spec so a correction against real reference fixtures is a
+one-line change.
+
+Categorical `domains` files map sparse category values to dense 0..k-1
+indices at load time (variable initial values and factor equal-predicates
+are translated); the sparse values are kept on the FactorGraph for
+round-tripping.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from .. import format_spec as fs
+from ..graph import FactorGraph
+
+
+# ---------------------------------------------------------------------------
+# writers
+# ---------------------------------------------------------------------------
+
+def write_weights(graph: FactorGraph, path: str) -> None:
+    rec = np.empty(graph.n_weights, fs.WEIGHT_RECORD)
+    rec["wid"] = np.arange(graph.n_weights)
+    rec["is_fixed"] = graph.w_fixed.astype(np.uint8)
+    rec["init"] = graph.w_init
+    rec.tofile(path)
+
+
+def write_variables(graph: FactorGraph, path: str) -> None:
+    rec = np.empty(graph.n_vars, fs.VARIABLE_RECORD)
+    rec["vid"] = np.arange(graph.n_vars)
+    rec["role"] = graph.var_role
+    rec["init"] = _dense_to_sparse_init(graph)
+    rec["dtype"] = graph.var_dtype
+    rec["card"] = graph.var_card
+    rec.tofile(path)
+
+
+def write_factors(graph: FactorGraph, path: str) -> None:
+    chunks = []
+    for f in range(graph.n_factors):
+        ftype = int(graph.f_type[f])
+        lo, hi = int(graph.f_ptr[f]), int(graph.f_ptr[f + 1])
+        arity = hi - lo
+        chunks.append(np.array([ftype], fs.BE_U16).tobytes())
+        chunks.append(np.array([arity], fs.BE_I64).tobytes())
+        categorical = ftype in fs.CATEGORICAL_FUNCS
+        for e in range(lo, hi):
+            chunks.append(np.array([graph.e_vid[e]], fs.BE_I64).tobytes())
+            chunks.append(np.array([graph.e_ispos[e]], fs.BE_U8).tobytes())
+            if categorical:
+                eq = _dense_to_sparse_eq(graph, int(graph.e_vid[e]),
+                                         int(graph.e_eqpred[e]))
+                chunks.append(np.array([eq], fs.BE_I64).tobytes())
+        chunks.append(np.array([graph.f_wid[f]], fs.BE_I64).tobytes())
+        chunks.append(np.array([graph.f_feat[f]], fs.BE_F64).tobytes())
+    with open(path, "wb") as fp:
+        fp.write(b"".join(chunks))
+
+
+def write_domains(graph: FactorGraph, path: str) -> None:
+    chunks = []
+    for vid, values in sorted((graph.domains or {}).items()):
+        chunks.append(np.array([vid], fs.BE_I64).tobytes())
+        chunks.append(np.array([len(values)], fs.BE_I64).tobytes())
+        chunks.append(np.asarray(values, fs.BE_I64).tobytes())
+    with open(path, "wb") as fp:
+        fp.write(b"".join(chunks))
+
+
+def write_meta(graph: FactorGraph, path: str, weights_file: str,
+               variables_file: str, factors_file: str,
+               edges_file: str = "") -> None:
+    line = ",".join([
+        str(graph.n_weights), str(graph.n_vars), str(graph.n_factors),
+        str(graph.n_edges), weights_file, variables_file, factors_file,
+        edges_file,
+    ])
+    with open(path, "w") as fp:
+        fp.write(line + "\n")
+
+
+def write_graph(graph: FactorGraph, outdir: str, prefix: str = "graph") -> str:
+    """Write all files into ``outdir``; returns the metadata path."""
+    os.makedirs(outdir, exist_ok=True)
+    wf = os.path.join(outdir, f"{prefix}.weights")
+    vf = os.path.join(outdir, f"{prefix}.variables")
+    ff = os.path.join(outdir, f"{prefix}.factors")
+    write_weights(graph, wf)
+    write_variables(graph, vf)
+    write_factors(graph, ff)
+    if graph.domains:
+        write_domains(graph, os.path.join(outdir, f"{prefix}.domains"))
+    meta = os.path.join(outdir, f"{prefix}.meta")
+    write_meta(graph, meta, wf, vf, ff)
+    return meta
+
+
+# ---------------------------------------------------------------------------
+# readers
+# ---------------------------------------------------------------------------
+
+def read_weights(path: str):
+    rec = np.fromfile(path, fs.WEIGHT_RECORD)
+    order = np.argsort(rec["wid"], kind="stable")
+    rec = rec[order]
+    return rec["init"].astype(np.float64), rec["is_fixed"].astype(bool)
+
+
+def read_variables(path: str):
+    rec = np.fromfile(path, fs.VARIABLE_RECORD)
+    order = np.argsort(rec["vid"], kind="stable")
+    rec = rec[order]
+    return (rec["role"].astype(np.uint8), rec["init"].astype(np.int64),
+            rec["dtype"].astype(np.uint8), rec["card"].astype(np.int32))
+
+
+def read_factors(path: str):
+    """Sequential scan of variable-length factor records.
+
+    Returns (f_type, f_wid, f_feat, f_ptr, e_vid, e_ispos, e_eqpred_sparse).
+    """
+    buf = memoryview(open(path, "rb").read())
+    pos = 0
+    f_type, f_wid, f_feat, f_ptr = [], [], [], [0]
+    e_vid, e_ispos, e_eq = [], [], []
+
+    def take(dtype, n=1):
+        nonlocal pos
+        out = np.frombuffer(buf, dtype, count=n, offset=pos)
+        pos += dtype.itemsize * n
+        return out
+
+    total = len(buf)
+    while pos < total:
+        ftype = int(take(fs.BE_U16)[0])
+        arity = int(take(fs.BE_I64)[0])
+        categorical = ftype in fs.CATEGORICAL_FUNCS
+        for _ in range(arity):
+            e_vid.append(int(take(fs.BE_I64)[0]))
+            e_ispos.append(bool(take(fs.BE_U8)[0]))
+            e_eq.append(int(take(fs.BE_I64)[0]) if categorical else 1)
+        f_type.append(ftype)
+        f_wid.append(int(take(fs.BE_I64)[0]))
+        f_feat.append(float(take(fs.BE_F64)[0]))
+        f_ptr.append(len(e_vid))
+    return (np.asarray(f_type, np.int32), np.asarray(f_wid, np.int32),
+            np.asarray(f_feat, np.float64), np.asarray(f_ptr, np.int64),
+            np.asarray(e_vid, np.int64), np.asarray(e_ispos, bool),
+            np.asarray(e_eq, np.int64))
+
+
+def read_domains(path: str) -> Dict[int, np.ndarray]:
+    buf = memoryview(open(path, "rb").read())
+    pos, total = 0, len(buf)
+    domains: Dict[int, np.ndarray] = {}
+    while pos < total:
+        vid = int(np.frombuffer(buf, fs.BE_I64, 1, pos)[0]); pos += 8
+        card = int(np.frombuffer(buf, fs.BE_I64, 1, pos)[0]); pos += 8
+        domains[vid] = np.frombuffer(buf, fs.BE_I64, card, pos).astype(np.int64)
+        pos += 8 * card
+    return domains
+
+
+def read_meta(path: str):
+    parts = open(path).read().strip().split(",")
+    counts = dict(zip(["n_weights", "n_vars", "n_factors", "n_edges"],
+                      map(int, parts[:4])))
+    files = dict(zip(["weights", "variables", "factors", "edges"],
+                     parts[4:8] + [""] * (8 - len(parts))))
+    return counts, files
+
+
+def load_graph(meta_path: str, domains_path: Optional[str] = None) -> FactorGraph:
+    """Load a graph from a metadata CSV (paths resolved relative to it)."""
+    counts, files = read_meta(meta_path)
+    base = os.path.dirname(os.path.abspath(meta_path))
+    rel = lambda p: p if os.path.isabs(p) else os.path.join(base, p)
+
+    w_init, w_fixed = read_weights(rel(files["weights"]))
+    role, init_sparse, dtype, card = read_variables(rel(files["variables"]))
+    f_type, f_wid, f_feat, f_ptr, e_vid, e_ispos, e_eq = read_factors(
+        rel(files["factors"]))
+
+    domains = None
+    if domains_path and os.path.exists(domains_path):
+        domains = read_domains(domains_path)
+
+    # translate sparse category values → dense indices
+    var_init = init_sparse.astype(np.int64).copy()
+    e_eqpred = e_eq.copy()
+    if domains:
+        for vid, values in domains.items():
+            lut = {int(s): d for d, s in enumerate(values)}
+            var_init[vid] = lut.get(int(var_init[vid]), int(var_init[vid]))
+            on_v = e_vid == vid
+            if on_v.any():
+                e_eqpred[on_v] = [lut.get(int(s), int(s)) for s in e_eq[on_v]]
+
+    g = FactorGraph(
+        var_dtype=dtype,
+        var_role=role,
+        var_init=var_init.astype(np.int32),
+        var_card=card,
+        w_init=w_init,
+        w_fixed=w_fixed,
+        f_type=f_type,
+        f_wid=f_wid,
+        f_feat=f_feat,
+        f_ptr=f_ptr,
+        e_vid=e_vid.astype(np.int32),
+        e_ispos=e_ispos,
+        e_eqpred=e_eqpred.astype(np.int32),
+        domains=domains,
+    )
+    g.validate()
+    for name, want, got in [("weights", counts["n_weights"], g.n_weights),
+                            ("variables", counts["n_vars"], g.n_vars),
+                            ("factors", counts["n_factors"], g.n_factors),
+                            ("edges", counts["n_edges"], g.n_edges)]:
+        if want != got:
+            raise ValueError(f"metadata says {want} {name}, files have {got}")
+    return g
+
+
+# ---------------------------------------------------------------------------
+# sparse-value helpers (dense ↔ sparse via graph.domains)
+# ---------------------------------------------------------------------------
+
+def _dense_to_sparse_init(graph: FactorGraph) -> np.ndarray:
+    init = graph.var_init.astype(np.int64).copy()
+    for vid, values in (graph.domains or {}).items():
+        init[vid] = values[init[vid]]
+    return init
+
+
+def _dense_to_sparse_eq(graph: FactorGraph, vid: int, dense: int) -> int:
+    if graph.domains and vid in graph.domains:
+        return int(graph.domains[vid][dense])
+    return dense

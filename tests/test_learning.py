@@ -1,0 +1,76 @@
+"""Weight-learning tests: SGD must converge to the oracle fixed point.
+
+Reference analog: learning tests that recover the log-odds of labeled data
+(SURVEY.md §4).  Fixed-point check, not trajectory parity (§7 hard-part 4).
+"""
+import jax
+import numpy as np
+import pytest
+
+from sampler_tpu import fixtures
+from sampler_tpu import format_spec as fs
+from sampler_tpu.compile import compile_graph, to_device
+from sampler_tpu.engine.learn import LearnConfig, learn
+from sampler_tpu.graph import FactorGraph
+
+
+def test_coin_weight_recovers_log_odds():
+    g = fixtures.labeled_coin_graph(n_flips=400, p_heads=0.75, seed=2)
+    p_hat = g.var_init.mean()
+    w_star = np.log(p_hat / (1 - p_hat))
+    dg, info = compile_graph(g)
+    dgj = to_device(dg)
+    cfg = LearnConfig(n_epochs=400, stepsize=0.02, diminish=0.995,
+                      regularization="none", reg_param=0.0)
+    w, _, _ = learn(dgj, dgj.w_init, jax.random.PRNGKey(0), cfg, info.max_card)
+    assert float(w[0]) == pytest.approx(w_star, abs=0.15), \
+        f"learned {float(w[0]):.3f}, want {w_star:.3f}"
+
+
+def test_fixed_weight_not_updated():
+    g = fixtures.labeled_coin_graph(n_flips=100, p_heads=0.8, seed=0)
+    g.w_fixed[:] = True
+    dg, info = compile_graph(g)
+    dgj = to_device(dg)
+    cfg = LearnConfig(n_epochs=50, stepsize=0.1, regularization="none")
+    w, _, _ = learn(dgj, dgj.w_init, jax.random.PRNGKey(0), cfg, info.max_card)
+    assert float(w[0]) == 0.0
+
+
+def test_l2_regularization_shrinks():
+    g = fixtures.labeled_coin_graph(n_flips=400, p_heads=0.9, seed=1)
+    dg, info = compile_graph(g)
+    dgj = to_device(dg)
+    cfg0 = LearnConfig(n_epochs=300, stepsize=0.02, diminish=0.995,
+                       regularization="none")
+    cfg_reg = LearnConfig(n_epochs=300, stepsize=0.02, diminish=0.995,
+                          regularization="l2", reg_param=2.0)
+    w0, _, _ = learn(dgj, dgj.w_init, jax.random.PRNGKey(0), cfg0, info.max_card)
+    wr, _, _ = learn(dgj, dgj.w_init, jax.random.PRNGKey(0), cfg_reg, info.max_card)
+    assert abs(float(wr[0])) < abs(float(w0[0]))
+    assert float(w0[0]) > 0.5  # sanity: data is heads-biased
+
+
+def test_two_weight_separation():
+    """Two independent coin populations with different biases must learn
+    different weights matching their own log-odds."""
+    rng = np.random.default_rng(3)
+    n = 300
+    labels_a = (rng.random(n) < 0.8).astype(np.int32)
+    labels_b = (rng.random(n) < 0.3).astype(np.int32)
+    factors = [(fs.FUNC_ISTRUE, 0, 1.0, [(i, True)]) for i in range(n)]
+    factors += [(fs.FUNC_ISTRUE, 1, 1.0, [(n + i, True)]) for i in range(n)]
+    g = FactorGraph.build(
+        var_card=[2] * (2 * n), weights=[0.0, 0.0], factors=factors,
+        var_role=np.full(2 * n, fs.ROLE_EVIDENCE, np.uint8),
+        var_init=np.concatenate([labels_a, labels_b]),
+    )
+    dg, info = compile_graph(g)
+    dgj = to_device(dg)
+    cfg = LearnConfig(n_epochs=400, stepsize=0.02, diminish=0.995,
+                      regularization="none")
+    w, _, _ = learn(dgj, dgj.w_init, jax.random.PRNGKey(0), cfg, info.max_card)
+    wa_star = np.log(labels_a.mean() / (1 - labels_a.mean()))
+    wb_star = np.log(labels_b.mean() / (1 - labels_b.mean()))
+    assert float(w[0]) == pytest.approx(wa_star, abs=0.2)
+    assert float(w[1]) == pytest.approx(wb_star, abs=0.2)
