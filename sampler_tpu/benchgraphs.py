@@ -1,0 +1,103 @@
+"""Vectorized large-graph constructors for benchmarks (no per-factor Python
+loops — these must scale to 10^7+ variables).
+
+The canonical benchmark is a 2-D Ising grid with per-node bias (ISTRUE) and
+nearest-neighbour coupling (EQUAL) — the same shape as the reference's
+KBC-style boolean workloads and exactly 2-colorable analytically (so bench
+setup skips greedy coloring).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from . import format_spec as fs
+from .graph import FactorGraph
+
+
+def big_ising_grid(rows: int, cols: int, w_pair: float = 0.5,
+                   w_bias: float = 0.2):
+    """Returns (FactorGraph, colors) for an R×C grid, built vectorized."""
+    V = rows * cols
+    r, c = np.divmod(np.arange(V, dtype=np.int64), cols)
+
+    # bias factors: one ISTRUE per variable
+    bias_vids = np.arange(V, dtype=np.int64)
+    # horizontal pairs (r, c)-(r, c+1)
+    hmask = c < cols - 1
+    h_a = np.nonzero(hmask)[0]
+    h_b = h_a + 1
+    # vertical pairs (r, c)-(r+1, c)
+    vmask = r < rows - 1
+    v_a = np.nonzero(vmask)[0]
+    v_b = v_a + cols
+
+    n_bias, n_h, n_v = V, len(h_a), len(v_a)
+    F = n_bias + n_h + n_v
+    f_type = np.concatenate([
+        np.full(n_bias, fs.FUNC_ISTRUE, np.int32),
+        np.full(n_h + n_v, fs.FUNC_EQUAL, np.int32),
+    ])
+    f_wid = np.concatenate([
+        np.zeros(n_bias, np.int32), np.ones(n_h + n_v, np.int32)])
+    f_feat = np.ones(F, np.float64)
+    arity = np.concatenate([
+        np.ones(n_bias, np.int64), np.full(n_h + n_v, 2, np.int64)])
+    f_ptr = np.zeros(F + 1, np.int64)
+    np.cumsum(arity, out=f_ptr[1:])
+
+    pair_edges = np.stack([np.concatenate([h_a, v_a]),
+                           np.concatenate([h_b, v_b])], axis=1).reshape(-1)
+    e_vid = np.concatenate([bias_vids, pair_edges]).astype(np.int32)
+    E = len(e_vid)
+
+    g = FactorGraph(
+        var_dtype=np.zeros(V, np.uint8),
+        var_role=np.zeros(V, np.uint8),
+        var_init=np.zeros(V, np.int32),
+        var_card=np.full(V, 2, np.int32),
+        w_init=np.asarray([w_bias, w_pair], np.float64),
+        w_fixed=np.zeros(2, bool),
+        f_type=f_type, f_wid=f_wid, f_feat=f_feat, f_ptr=f_ptr,
+        e_vid=e_vid,
+        e_ispos=np.ones(E, bool),
+        e_eqpred=np.ones(E, np.int32),
+    )
+    colors = ((r + c) % 2).astype(np.int32)  # checkerboard: exact 2-coloring
+    return g, colors
+
+
+def random_kbc_graph(n_vars: int, n_factors: int, max_arity: int = 3,
+                     n_weights: int = 1000, seed: int = 0,
+                     evidence_frac: float = 0.1):
+    """Random boolean graph with mixed factor types, built vectorized.
+
+    Shape mimics KBC workloads: skewed-ish degree, mixed arities 1..max_arity,
+    many shared weights.  Returns FactorGraph (coloring left to greedy).
+    """
+    rng = np.random.default_rng(seed)
+    arity = rng.integers(1, max_arity + 1, size=n_factors).astype(np.int64)
+    f_ptr = np.zeros(n_factors + 1, np.int64)
+    np.cumsum(arity, out=f_ptr[1:])
+    E = int(f_ptr[-1])
+    e_vid = rng.integers(0, n_vars, size=E).astype(np.int32)
+    funcs = np.array([fs.FUNC_IMPLY_NATURAL, fs.FUNC_OR, fs.FUNC_AND,
+                      fs.FUNC_IMPLY_MLN, fs.FUNC_ISTRUE], np.int32)
+    f_type = funcs[rng.integers(0, len(funcs), size=n_factors)]
+    f_type[arity == 1] = fs.FUNC_ISTRUE
+
+    g = FactorGraph(
+        var_dtype=np.zeros(n_vars, np.uint8),
+        var_role=(rng.random(n_vars) < evidence_frac).astype(np.uint8),
+        var_init=rng.integers(0, 2, size=n_vars).astype(np.int32),
+        var_card=np.full(n_vars, 2, np.int32),
+        w_init=rng.normal(0, 0.5, size=n_weights),
+        w_fixed=np.zeros(n_weights, bool),
+        f_type=f_type,
+        f_wid=rng.integers(0, n_weights, size=n_factors).astype(np.int32),
+        f_feat=np.ones(n_factors, np.float64),
+        f_ptr=f_ptr,
+        e_vid=e_vid,
+        e_ispos=rng.random(E) < 0.8,
+        e_eqpred=np.ones(E, np.int32),
+    )
+    return g

@@ -107,7 +107,7 @@ def cmd_gibbs(args) -> int:
             reg_param=args.reg_param,
             learn_non_evidence=args.learn_non_evidence,
         )
-        weights, _, _ = learn(dgj, weights, k_learn, cfg, info.max_card)
+        weights, _, _ = learn(dgj, weights, k_learn, cfg, info)
         weights.block_until_ready()
         dt = time.time() - t0
         sweeps = args.n_learning_epoch * cfg.n_sweeps_per_epoch
@@ -116,7 +116,7 @@ def cmd_gibbs(args) -> int:
 
     t0 = time.time()
     marg, _ = infer(dgj, weights, k_inf, n_burn=args.burn_in,
-                    n_sweeps=args.n_inference_epoch, K=info.max_card,
+                    n_sweeps=args.n_inference_epoch, info=info,
                     sample_evidence=args.sample_evidence, n_chains=n_chains)
     marg = np.asarray(jax.block_until_ready(marg))
     dt = time.time() - t0

@@ -2,17 +2,28 @@
 
 Equivalent role to the reference's FactorGraph::compile() →
 CompiledFactorGraph (ref: src/factor_graph.cc — recalled), but the layout is
-TPU-shaped: everything is a dense SoA array padded to static shapes so XLA
-sees rectangular gathers, plus graph-coloring blocks that expose race-free
-parallelism (see coloring.py).
+TPU-shaped:
 
-Padding convention — sentinels instead of masks wherever possible:
-  * a DUMMY VARIABLE row at index V: card 1, value always 0, never resampled;
-  * a DUMMY FACTOR row at index F: weight id 0 but feature 0.0, so its
-    contribution to any sum is exactly 0;
-  * padded slots in index arrays point at the dummy row, which keeps every
-    gather in-bounds and mask-free; only candidate-value masking (k >= card)
-    and edge-arity masks remain.
+COLOR-MAJOR VARIABLE LAYOUT.  Variables are permuted so that each color's
+block occupies one contiguous slice of the assignment vector:
+position p = c * B + b holds the b-th variable of color c (B = padded block
+size).  A Gibbs color step then:
+
+  * reads its per-variable metadata as contiguous [B] slices (no gathers),
+  * gathers only the small ``values`` vector at streamed member indices,
+  * writes its updates with one contiguous dynamic_update_slice — there is
+    NO scatter anywhere in the sweep (arbitrary-index scatter is
+    pathologically slow on TPU XLA).
+
+Sentinels instead of masks wherever possible:
+  * pad positions inside a color block are fake variables (card 1, evidence
+    role, value 0) — the slice update writes their old value back;
+  * position C*B is the global dummy slot factor-edge padding points at;
+  * a DUMMY FACTOR row at index F has feature 0.0 so its contribution to
+    any sum is exactly 0.
+
+All factor member ids (f_vids, cs_mv) are stored as color-major POSITIONS,
+not original variable ids; ``pos_of_vid`` maps back for user-facing output.
 """
 from __future__ import annotations
 
@@ -33,13 +44,13 @@ def _round_up(x: int, m: int) -> int:
 class DeviceGraph(NamedTuple):
     """Rectangular SoA arrays (numpy here; moved to device by jnp.asarray).
 
-    Shapes:  V' = V+1 (dummy var row),  F' = F+1 (dummy factor row),
-             A = padded max arity,  D = padded max degree,
-             C = number of colors,  B = padded max color-block size.
+    Shapes:  P = C*B + 1 (color-major positions + dummy tail),
+             F' = F+1 (dummy factor row),  A = padded max arity,
+             D = padded max degree, C = colors, B = padded block size.
     """
 
-    # factors ----------------------------------------------------- [F', A]
-    f_vids: np.ndarray    # int32, member variable ids (pad → V)
+    # factors (members as positions) ------------------------------ [F', A]
+    f_vids: np.ndarray    # int32 member positions (pad → C*B)
     f_ispos: np.ndarray   # bool
     f_eqpred: np.ndarray  # int32
     f_mask: np.ndarray    # bool, True on real edges
@@ -48,14 +59,31 @@ class DeviceGraph(NamedTuple):
     f_wid: np.ndarray     # int32 (dummy → 0)
     f_feat: np.ndarray    # float32 (dummy → 0.0)
     f_arity: np.ndarray   # int32 (dummy → 1)
-    # variable → incident factors (DISTINCT factor ids) ----------- [V', D]
-    v_fidx: np.ndarray    # int32, incident factor ids (pad → F)
-    # variables ----------------------------------------------------- [V']
-    var_card: np.ndarray  # int32 (dummy → 1)
-    var_role: np.ndarray  # int32 (dummy → ROLE_EVIDENCE)
-    var_init: np.ndarray  # int32 (dummy → 0)
-    # color blocks -------------------------------------------------- [C, B]
-    color_vars: np.ndarray  # int32, variable ids per color (pad → V)
+    # color-major incidence streams — the sweep's hot data.  One record per
+    # (variable-of-color, incident-factor-slot); contiguous streaming.
+    cs_mv: np.ndarray      # int32 [C, B, D, A] member positions (pad → C*B)
+    cs_pos: np.ndarray     # bool  [C, B, D, A]
+    cs_eq: np.ndarray      # int32 [C, B, D, A]
+    cs_mask: np.ndarray    # bool  [C, B, D, A]
+    cs_type: np.ndarray    # int32 [C, B, D]
+    cs_arity: np.ndarray   # int32 [C, B, D]
+    cs_wid: np.ndarray     # int32 [C, B, D]
+    cs_feat: np.ndarray    # float32 [C, B, D] (pad → 0)
+    # per-position variable metadata ------------------------------- [P]
+    var_card: np.ndarray  # int32 (pads/dummy → 1)
+    var_role: np.ndarray  # int32 (pads/dummy → ROLE_EVIDENCE)
+    var_init: np.ndarray  # int32 (pads/dummy → 0)
+    # color-major 2-D views of the same metadata ------------------ [C, B]
+    cm_card: np.ndarray   # int32
+    cm_role: np.ndarray   # int32
+    # precomputed draw masks (runtime comparisons against sliced metadata
+    # trigger a pathological Mosaic lowering — ~400x slower — so these are
+    # baked at compile time and streamed):
+    cm_kmask: np.ndarray      # float32 [C, B, K]: 0 if k < card else -1e30
+    cm_resample: np.ndarray   # bool [C, B]: query & not pad
+    cm_resample_ev: np.ndarray  # bool [C, B]: not pad (sample_evidence mode)
+    # original-id mapping ------------------------------------------- [V]
+    pos_of_vid: np.ndarray  # int32: original vid → color-major position
     # weights --------------------------------------------------------- [W]
     w_init: np.ndarray    # float32
     w_fixed: np.ndarray   # bool
@@ -71,24 +99,45 @@ class CompileInfo:
     max_degree: int
     max_card: int
     block_size: int
+    present_funcs: tuple = ()   # sorted factor-function ids in this graph
+    all_boolean: bool = False   # no categorical vars and all eqpred == 1
 
 
 def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
                   align: int = 8) -> tuple[DeviceGraph, CompileInfo]:
-    """Build the padded device layout.  `align` pads B/D/A for TPU lanes."""
+    """Build the padded color-major device layout."""
     graph.validate()
     V, F, E = graph.n_vars, graph.n_factors, graph.n_edges
     arity = graph.arities().astype(np.int64)
     A = int(arity.max())
 
-    # --- factor → member edges, padded [F+1, A] ------------------------
-    f_vids = np.full((F + 1, A), V, np.int32)
+    # --- coloring → permutation ----------------------------------------
+    if colors is None:
+        colors = greedy_coloring(graph)
+    C = int(colors.max()) + 1 if V else 1
+    counts = np.bincount(colors, minlength=C)
+    B = _round_up(int(counts.max()), align)
+    P = C * B + 1                      # +1 global dummy tail
+    DUMMY = C * B
+
+    vid_of_pos = np.full(P, -1, np.int64)   # -1 = pad/dummy
+    corder = np.argsort(colors, kind="stable").astype(np.int64)
+    sc = colors[corder]
+    cstarts = np.searchsorted(sc, np.arange(C))
+    cpos = np.arange(V) - cstarts[sc]
+    positions = sc.astype(np.int64) * B + cpos
+    vid_of_pos[positions] = corder
+    pos_of_vid = np.empty(V, np.int64)
+    pos_of_vid[corder] = positions
+
+    # --- factor → member edges (as positions), padded [F+1, A] ---------
+    f_vids = np.full((F + 1, A), DUMMY, np.int32)
     f_ispos = np.zeros((F + 1, A), bool)
     f_eqpred = np.zeros((F + 1, A), np.int32)
     f_mask = np.zeros((F + 1, A), bool)
     rows = np.repeat(np.arange(F), arity)
-    cols = np.concatenate([np.arange(a) for a in arity]) if F else np.zeros(0, np.int64)
-    f_vids[rows, cols] = graph.e_vid
+    cols = np.arange(E, dtype=np.int64) - np.repeat(graph.f_ptr[:-1], arity)
+    f_vids[rows, cols] = pos_of_vid[graph.e_vid]
     f_ispos[rows, cols] = graph.e_ispos
     f_eqpred[rows, cols] = graph.e_eqpred
     f_mask[rows, cols] = True
@@ -98,52 +147,71 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
     f_feat = np.concatenate([graph.f_feat, [0.0]]).astype(np.float32)
     f_arity = np.concatenate([arity, [1]]).astype(np.int32)
 
-    # --- variable → incident factor CSR, padded [V+1, D] ---------------
-    # DISTINCT (variable, factor) pairs: a factor mentioning the same
-    # variable in several slots appears once; the sweep substitutes the
-    # candidate at every matching slot (engine/sweep.py).
-    pair_key = rows.astype(np.int64) * (V + 1) + graph.e_vid
+    # --- variable(position) → DISTINCT incident factors [P, D] ---------
+    # a factor mentioning the same variable in several slots appears once;
+    # the sweep substitutes the candidate at every matching slot.
+    pair_key = rows.astype(np.int64) * P + pos_of_vid[graph.e_vid]
     uniq = np.unique(pair_key)
-    uf = (uniq // (V + 1)).astype(np.int32)
-    uv = (uniq % (V + 1)).astype(np.int64)
-    degree = np.bincount(uv, minlength=V)
-    D = _round_up(max(int(degree.max()) if V else 1, 1), 1)
-    v_fidx = np.full((V + 1, D), F, np.int32)
-    order = np.argsort(uv, kind="stable")
-    sv, sf = uv[order], uf[order]
-    starts = np.searchsorted(sv, np.arange(V))
-    pos = np.arange(len(sv)) - starts[sv]
-    v_fidx[sv, pos] = sf
+    uf = (uniq // P).astype(np.int32)
+    up = (uniq % P).astype(np.int64)
+    degree = np.bincount(up, minlength=P)
+    D = max(int(degree.max()) if V else 1, 1)
+    v_fidx = np.full((P, D), F, np.int32)
+    order = np.argsort(up, kind="stable")
+    sp, sf = up[order], uf[order]
+    starts = np.searchsorted(sp, np.arange(P))
+    posn = np.arange(len(sp)) - starts[sp]
+    v_fidx[sp, posn] = sf
 
-    # --- coloring → [C, B] blocks --------------------------------------
-    if colors is None:
-        colors = greedy_coloring(graph)
-    C = int(colors.max()) + 1 if V else 1
-    counts = np.bincount(colors, minlength=C)
-    B = _round_up(int(counts.max()), align)
-    color_vars = np.full((C, B), V, np.int32)
-    for c in range(C):
-        members = np.nonzero(colors == c)[0]
-        color_vars[c, : len(members)] = members
+    # --- per-position metadata -----------------------------------------
+    var_card = np.ones(P, np.int32)
+    var_role = np.full(P, fs.ROLE_EVIDENCE, np.int32)
+    var_init = np.zeros(P, np.int32)
+    real = vid_of_pos >= 0
+    var_card[real] = graph.var_card[vid_of_pos[real]]
+    var_role[real] = graph.var_role[vid_of_pos[real]]
+    var_init[real] = graph.var_init[vid_of_pos[real]]
+    cm_card = var_card[:-1].reshape(C, B).copy()
+    cm_role = var_role[:-1].reshape(C, B).copy()
+    K = int(graph.var_card.max()) if V else 1
+    cm_kmask = np.where(
+        np.arange(K)[None, None, :] < cm_card[:, :, None], 0.0, -1e30
+    ).astype(np.float32)
+    cm_resample = (cm_role == 0) & (cm_card > 1)
+    cm_resample_ev = cm_card > 1
 
-    # --- variable rows (+ dummy) ---------------------------------------
-    var_card = np.concatenate([graph.var_card, [1]]).astype(np.int32)
-    var_role = np.concatenate([graph.var_role, [fs.ROLE_EVIDENCE]]).astype(np.int32)
-    var_init = np.concatenate([graph.var_init, [0]]).astype(np.int32)
+    # --- color-major incidence streams [C, B, D, ...] ------------------
+    fi = v_fidx[:-1].reshape(C, B, D)        # [C, B, D]
+    cs_mv = f_vids[fi]                       # [C, B, D, A]
+    cs_pos = f_ispos[fi]
+    cs_eq = f_eqpred[fi]
+    cs_mask = f_mask[fi]
+    cs_type = f_type[fi]
+    cs_arity = f_arity[fi]
+    cs_wid = f_wid[fi]
+    cs_feat = f_feat[fi]
 
     dg = DeviceGraph(
         f_vids=f_vids, f_ispos=f_ispos, f_eqpred=f_eqpred, f_mask=f_mask,
         f_type=f_type, f_wid=f_wid, f_feat=f_feat, f_arity=f_arity,
-        v_fidx=v_fidx,
+        cs_mv=cs_mv, cs_pos=cs_pos, cs_eq=cs_eq, cs_mask=cs_mask,
+        cs_type=cs_type, cs_arity=cs_arity, cs_wid=cs_wid, cs_feat=cs_feat,
         var_card=var_card, var_role=var_role, var_init=var_init,
-        color_vars=color_vars,
+        cm_card=cm_card, cm_role=cm_role,
+        cm_kmask=cm_kmask, cm_resample=cm_resample,
+        cm_resample_ev=cm_resample_ev,
+        pos_of_vid=pos_of_vid.astype(np.int32),
         w_init=graph.w_init.astype(np.float32),
         w_fixed=graph.w_fixed.astype(bool),
     )
+    all_boolean = bool((graph.var_dtype == fs.DTYPE_BOOLEAN).all()
+                       and (graph.e_eqpred == 1).all())
     info = CompileInfo(
         n_vars=V, n_factors=F, n_weights=graph.n_weights, n_colors=C,
         max_arity=A, max_degree=D, max_card=int(graph.var_card.max()),
         block_size=B,
+        present_funcs=tuple(sorted(int(t) for t in np.unique(graph.f_type))),
+        all_boolean=all_boolean,
     )
     return dg, info
 

@@ -27,33 +27,36 @@ def init_values(dg, key=None, random_init: bool = True):
     return vals
 
 
-@partial(jax.jit, static_argnames=("n_sweeps", "sample_evidence", "K"))
+@partial(jax.jit, static_argnames=("n_sweeps", "sample_evidence", "info"))
 def run_sweeps(dg, values, weights, key, n_sweeps: int,
-               sample_evidence: bool, K: int):
+               sample_evidence: bool, info):
     """n_sweeps full sweeps, no tallies (burn-in)."""
     def body(vals, i):
         k = jax.random.fold_in(key, i)
-        return sweep(dg, vals, weights, k, sample_evidence, K), None
+        return sweep(dg, vals, weights, k, sample_evidence, info), None
 
     values, _ = jax.lax.scan(body, values, jnp.arange(n_sweeps))
     return values
 
 
-@partial(jax.jit, static_argnames=("n_sweeps", "sample_evidence", "K"))
+@partial(jax.jit, static_argnames=("n_sweeps", "sample_evidence", "info"))
 def run_inference(dg, values, weights, key, n_sweeps: int,
-                  sample_evidence: bool, K: int):
+                  sample_evidence: bool, info):
     """n_sweeps sweeps with per-sweep tallies.
 
     Returns (values, counts[V+1, K] int32).
     """
     Vp = dg.var_card.shape[0]
-    counts0 = jnp.zeros((Vp, K), jnp.int32)
+    counts0 = jnp.zeros((Vp, info.max_card), jnp.int32)
+
+    ks = jnp.arange(info.max_card, dtype=values.dtype)
 
     def body(carry, i):
         vals, counts = carry
         k = jax.random.fold_in(key, i)
-        vals = sweep(dg, vals, weights, k, sample_evidence, K)
-        counts = counts.at[jnp.arange(Vp), vals].add(1)
+        vals = sweep(dg, vals, weights, k, sample_evidence, info)
+        # one-hot compare instead of scatter-add (scatter is slow on TPU)
+        counts = counts + (vals[:, None] == ks[None, :]).astype(jnp.int32)
         return (vals, counts), None
 
     (values, counts), _ = jax.lax.scan(body, (values, counts0),
@@ -67,19 +70,19 @@ def marginals_from_counts(counts, n_sweeps: int):
 
 
 @partial(jax.jit, static_argnames=("n_burn", "n_sweeps", "sample_evidence",
-                                   "K", "random_init"))
-def _infer_one(dg, weights, key, n_burn: int, n_sweeps: int, K: int,
+                                   "info", "random_init"))
+def _infer_one(dg, weights, key, n_burn: int, n_sweeps: int, info,
                sample_evidence: bool, random_init: bool):
     k_init, k_burn, k_inf = jax.random.split(key, 3)
     values = init_values(dg, k_init, random_init)
     if n_burn:
         values = run_sweeps(dg, values, weights, k_burn, n_burn,
-                            sample_evidence, K)
+                            sample_evidence, info)
     return run_inference(dg, values, weights, k_inf, n_sweeps,
-                         sample_evidence, K)
+                         sample_evidence, info)
 
 
-def infer(dg, weights, key, n_burn: int, n_sweeps: int, K: int,
+def infer(dg, weights, key, n_burn: int, n_sweeps: int, info,
           sample_evidence: bool = False, random_init: bool = True,
           n_chains: int = 1):
     """Full inference pipeline; returns (marginals[V, K], final values).
@@ -90,14 +93,15 @@ def infer(dg, weights, key, n_burn: int, n_sweeps: int, K: int,
     axis.
     """
     if n_chains == 1:
-        values, counts = _infer_one(dg, weights, key, n_burn, n_sweeps, K,
+        values, counts = _infer_one(dg, weights, key, n_burn, n_sweeps, info,
                                     sample_evidence, random_init)
-        marg = marginals_from_counts(counts, n_sweeps)
-        return marg[:-1], values
+        marg = marginals_from_counts(counts[dg.pos_of_vid], n_sweeps)
+        return marg, values
     keys = jax.random.split(key, n_chains)
     run = jax.vmap(
-        lambda k: _infer_one(dg, weights, k, n_burn, n_sweeps, K,
+        lambda k: _infer_one(dg, weights, k, n_burn, n_sweeps, info,
                              sample_evidence, random_init))
     values, counts = run(keys)
-    marg = marginals_from_counts(counts.sum(0), n_sweeps * n_chains)
-    return marg[:-1], values
+    marg = marginals_from_counts(counts.sum(0)[dg.pos_of_vid],
+                                 n_sweeps * n_chains)
+    return marg, values

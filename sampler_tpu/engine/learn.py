@@ -36,10 +36,11 @@ class LearnConfig:
     learn_non_evidence: bool = False
 
 
-def weight_gradient(dg, values_ev, values_free, learn_non_evidence: bool):
+def weight_gradient(dg, values_ev, values_free, learn_non_evidence: bool,
+                    present=None):
     """grad[W] float32 via segment-sum of per-factor stat differences."""
-    phi_ev = factor_phis(dg, values_ev)
-    phi_free = factor_phis(dg, values_free)
+    phi_ev = factor_phis(dg, values_ev, present)
+    phi_free = factor_phis(dg, values_free, present)
     diff = dg.f_feat * (phi_ev - phi_free)
     if not learn_non_evidence:
         # only factors touching >=1 evidence variable contribute
@@ -59,8 +60,8 @@ def apply_update(weights, grad, w_fixed, stepsize, regularization: str,
     return jnp.where(w_fixed, weights, new)
 
 
-@partial(jax.jit, static_argnames=("cfg", "K"))
-def learn(dg, weights, key, cfg: LearnConfig, K: int):
+@partial(jax.jit, static_argnames=("cfg", "info"))
+def learn(dg, weights, key, cfg: LearnConfig, info):
     """Run cfg.n_epochs learning epochs; returns (weights, v_ev, v_free)."""
     from .gibbs import init_values
 
@@ -76,15 +77,16 @@ def learn(dg, weights, key, cfg: LearnConfig, K: int):
         def one_sweep(c, j):
             v_ev, v_free = c
             v_ev = sweep(dg, v_ev, w, jax.random.fold_in(ke, j),
-                         sample_evidence=False, K=K)
+                         sample_evidence=False, info=info)
             v_free = sweep(dg, v_free, w, jax.random.fold_in(kf, j),
-                           sample_evidence=True, K=K)
+                           sample_evidence=True, info=info)
             return (v_ev, v_free), None
 
         (v_ev, v_free), _ = jax.lax.scan(
             one_sweep, (v_ev, v_free), jnp.arange(cfg.n_sweeps_per_epoch))
 
-        grad = weight_gradient(dg, v_ev, v_free, cfg.learn_non_evidence)
+        grad = weight_gradient(dg, v_ev, v_free, cfg.learn_non_evidence,
+                               info.present_funcs)
         w = apply_update(w, grad, dg.w_fixed, alpha, cfg.regularization,
                          cfg.reg_param)
         return (w, v_ev, v_free, alpha * cfg.diminish), None

@@ -1,18 +1,20 @@
-"""The colored Gibbs sweep — pure-XLA path.
+"""The colored Gibbs sweep — pure-XLA path, scatter-free.
 
 One sweep = sequential loop over colors; within a color, every variable is
 resampled simultaneously (they share no factor, so the block update is exact
 Gibbs).  This replaces the reference's Hogwild thread fan-out
 (ref: src/gibbs_sampler.cc GibbsSamplerThread::sample_single_variable —
-recalled; see SURVEY.md §3.2) with a deterministic, vectorized
-gather → evaluate → reduce → draw → scatter step:
+recalled; see SURVEY.md §3.2) with a deterministic, vectorized step.
 
-    vb   [B]        variables of this color
-    fi   [B, D]     incident factors (CSR row gather)
-    lits [B, D, K, A]  literals with candidate value k substituted at
-                       this variable's slot
-    logits [B, K]   Σ_d w·feat·φ   (conditional log-potentials)
-    draw            Gumbel-argmax over the masked candidate axis
+Values live permanently in COLOR-MAJOR order (compile.py): color c owns the
+contiguous slice [c*B, (c+1)*B) of the assignment vector, so a color step is
+
+    stream  cs_* tables [B, D, ...]     (contiguous dynamic slices)
+    gather  values[cs_mv]               (the ONLY gather — small table)
+    eval    φ specialized to present factor types   (VPU, branchless)
+    reduce  logits[B, K] = Σ_d w·feat·φ
+    draw    Gumbel-argmax over masked candidates
+    write   dynamic_update_slice        (contiguous — NO scatter)
 """
 from __future__ import annotations
 
@@ -24,61 +26,74 @@ from .potentials import eval_phi
 NEG_INF = jnp.float32(-1e30)
 
 
-def color_logits(dg, values, weights, vb, K: int):
-    """Conditional log-potentials [B, K] for one color block ``vb``.
+def color_logits(dg, values, weights, c, info):
+    """Conditional log-potentials [B, K] for color ``c`` (traced index).
 
     The candidate value is substituted at EVERY slot of the factor whose
-    member is this variable (``mv == v``), so factors mentioning the same
-    variable in several slots are handled exactly (and each distinct
-    incident factor is counted once — compile.py dedups v_fidx).
+    member is this variable (``mv == own position``), so factors mentioning
+    the same variable in several slots are handled exactly (each distinct
+    incident factor appears once — compile.py dedups the incidence lists).
     """
-    fi = dg.v_fidx[vb]                # [B, D]
-    mv = dg.f_vids[fi]                # [B, D, A]
-    vals = values[mv]                 # [B, D, A]
-    eq = dg.f_eqpred[fi]
-    pos = dg.f_ispos[fi]
-    msk = dg.f_mask[fi]
-
-    base_lit = (vals == eq) == pos                        # [B, D, A]
-    is_mine = mv == vb[:, None, None]                     # [B, D, A]
+    K = info.max_card
+    B = dg.cs_mv.shape[1]
+    mv = dg.cs_mv[c]                  # [B, D, A]  contiguous slice
+    pos = dg.cs_pos[c]
+    msk = dg.cs_mask[c]
+    vals = values[mv]                 # [B, D, A]  gather from small table
     ks = jax.lax.broadcasted_iota(jnp.int32, (K,), 0)
 
-    # literal at each slot for each candidate k → [B, D, K, A]
-    cand_lit = (ks[None, None, :, None] == eq[:, :, None, :]) == pos[:, :, None, :]
+    if info.all_boolean:
+        base_lit = (vals == 1) == pos                     # [B, D, A]
+        cand_lit = (ks[None, None, :, None] == 1) == pos[:, :, None, :]
+    else:
+        eq = dg.cs_eq[c]
+        base_lit = (vals == eq) == pos
+        cand_lit = (ks[None, None, :, None] == eq[:, :, None, :]) \
+            == pos[:, :, None, :]
+
+    own = c * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0)
+    is_mine = mv == own                                   # [B, D, A]
     lit_k = jnp.where(is_mine[:, :, None, :], cand_lit, base_lit[:, :, None, :])
 
     phi = eval_phi(
         lit_k,
-        msk[..., None, :],
-        dg.f_type[fi][..., None],
-        dg.f_arity[fi][..., None],
+        msk[:, :, None, :],
+        dg.cs_type[c][:, :, None],
+        dg.cs_arity[c][:, :, None],
+        info.present_funcs,
     )                                                     # [B, D, K]
-    contrib = (weights[dg.f_wid[fi]] * dg.f_feat[fi])[..., None] * phi
+    contrib = (weights[dg.cs_wid[c]] * dg.cs_feat[c])[..., None] * phi
     return jnp.sum(contrib, axis=1)                       # [B, K]
 
 
-def color_step(dg, values, weights, key, vb, sample_evidence: bool, K: int):
-    """Resample one color block ``vb``; returns updated values [V+1]."""
-    logits = color_logits(dg, values, weights, vb, K)
-    card = dg.var_card[vb]            # [B]
-    ks = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    masked = jnp.where(ks < card[:, None], logits, NEG_INF)
+def color_step(dg, values, weights, key, c, sample_evidence: bool, info):
+    """Resample color ``c``; returns updated values [P].
+
+    The candidate-cardinality mask and the resample mask are precomputed
+    streamed tables (compile.py cm_kmask / cm_resample*): computing them
+    at runtime from sliced metadata triggers a ~400x-slower Mosaic lowering
+    on TPU.
+    """
+    B = dg.cs_mv.shape[1]
+    logits = color_logits(dg, values, weights, c, info)
+
+    masked = logits + dg.cm_kmask[c]
     g = jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
     drawn = jnp.argmax(masked + g, axis=-1).astype(values.dtype)
 
-    resample = (dg.var_role[vb] == 0) | bool(sample_evidence)
-    resample = resample & (vb < dg.var_card.shape[0] - 1)  # exclude dummy
-    new = jnp.where(resample, drawn, values[vb])
-    return values.at[vb].set(new)
+    resample = dg.cm_resample_ev[c] if sample_evidence else dg.cm_resample[c]
+    old = jax.lax.dynamic_slice(values, (c * B,), (B,))
+    new = jnp.where(resample, drawn, old)
+    return jax.lax.dynamic_update_slice(values, new, (c * B,))
 
 
-def sweep(dg, values, weights, key, sample_evidence: bool, K: int):
-    """One full Gibbs sweep over all colors.  K = static max cardinality."""
-    C = dg.color_vars.shape[0]
+def sweep(dg, values, weights, key, sample_evidence: bool, info):
+    """One full Gibbs sweep over all colors.  ``info`` is static
+    (CompileInfo is hashable)."""
+    C = dg.cs_mv.shape[0]
 
     def body(c, vals):
         ck = jax.random.fold_in(key, c)
-        return color_step(dg, vals, weights, ck, dg.color_vars[c],
-                          sample_evidence, K)
+        return color_step(dg, vals, weights, ck, c, sample_evidence, info)
 
-    return jax.lax.fori_loop(0, C, body, values)
+    return jax.lax.fori_loop(0, C, body, values, unroll=(C <= 4))

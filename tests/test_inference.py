@@ -21,7 +21,7 @@ def run_parity(g, tol=TOL, n_sweeps=N_SWEEPS, sample_evidence=False, seed=0):
     dg, info = compile_graph(g)
     dgj = to_device(dg)
     marg, _ = infer(dgj, dgj.w_init, jax.random.PRNGKey(seed),
-                    n_burn=N_BURN, n_sweeps=n_sweeps, K=info.max_card,
+                    n_burn=N_BURN, n_sweeps=n_sweeps, info=info,
                     sample_evidence=sample_evidence, n_chains=N_CHAINS)
     marg = np.asarray(marg)
     exact = oracle.exact_marginals(g, clamp_evidence=not sample_evidence)
@@ -84,8 +84,8 @@ def test_deterministic_given_key():
     dg, info = compile_graph(g)
     dgj = to_device(dg)
     m1, v1 = infer(dgj, dgj.w_init, jax.random.PRNGKey(7), n_burn=10,
-                   n_sweeps=50, K=info.max_card)
+                   n_sweeps=50, info=info)
     m2, v2 = infer(dgj, dgj.w_init, jax.random.PRNGKey(7), n_burn=10,
-                   n_sweeps=50, K=info.max_card)
+                   n_sweeps=50, info=info)
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))

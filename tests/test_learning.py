@@ -22,7 +22,7 @@ def test_coin_weight_recovers_log_odds():
     dgj = to_device(dg)
     cfg = LearnConfig(n_epochs=400, stepsize=0.02, diminish=0.995,
                       regularization="none", reg_param=0.0)
-    w, _, _ = learn(dgj, dgj.w_init, jax.random.PRNGKey(0), cfg, info.max_card)
+    w, _, _ = learn(dgj, dgj.w_init, jax.random.PRNGKey(0), cfg, info)
     assert float(w[0]) == pytest.approx(w_star, abs=0.15), \
         f"learned {float(w[0]):.3f}, want {w_star:.3f}"
 
@@ -33,7 +33,7 @@ def test_fixed_weight_not_updated():
     dg, info = compile_graph(g)
     dgj = to_device(dg)
     cfg = LearnConfig(n_epochs=50, stepsize=0.1, regularization="none")
-    w, _, _ = learn(dgj, dgj.w_init, jax.random.PRNGKey(0), cfg, info.max_card)
+    w, _, _ = learn(dgj, dgj.w_init, jax.random.PRNGKey(0), cfg, info)
     assert float(w[0]) == 0.0
 
 
@@ -45,8 +45,8 @@ def test_l2_regularization_shrinks():
                        regularization="none")
     cfg_reg = LearnConfig(n_epochs=300, stepsize=0.02, diminish=0.995,
                           regularization="l2", reg_param=2.0)
-    w0, _, _ = learn(dgj, dgj.w_init, jax.random.PRNGKey(0), cfg0, info.max_card)
-    wr, _, _ = learn(dgj, dgj.w_init, jax.random.PRNGKey(0), cfg_reg, info.max_card)
+    w0, _, _ = learn(dgj, dgj.w_init, jax.random.PRNGKey(0), cfg0, info)
+    wr, _, _ = learn(dgj, dgj.w_init, jax.random.PRNGKey(0), cfg_reg, info)
     assert abs(float(wr[0])) < abs(float(w0[0]))
     assert float(w0[0]) > 0.5  # sanity: data is heads-biased
 
@@ -69,7 +69,7 @@ def test_two_weight_separation():
     dgj = to_device(dg)
     cfg = LearnConfig(n_epochs=400, stepsize=0.02, diminish=0.995,
                       regularization="none")
-    w, _, _ = learn(dgj, dgj.w_init, jax.random.PRNGKey(0), cfg, info.max_card)
+    w, _, _ = learn(dgj, dgj.w_init, jax.random.PRNGKey(0), cfg, info)
     wa_star = np.log(labels_a.mean() / (1 - labels_a.mean()))
     wb_star = np.log(labels_b.mean() / (1 - labels_b.mean()))
     assert float(w[0]) == pytest.approx(wa_star, abs=0.2)

@@ -47,10 +47,13 @@ def test_factor_phis_match_oracle_logp(fixture):
     dg, info = compile_graph(g)
     dgj = to_device(dg)
     rng = np.random.default_rng(0)
+    P = dg.var_card.shape[0]
     for _ in range(10):
         assign = np.stack([rng.integers(0, c) for c in g.var_card]).astype(np.int32)
         want = log_potential(g, assign[None])[0]
-        values = jnp.asarray(np.concatenate([assign, [0]]))
-        phis = factor_phis(dgj, values)
+        # factor_phis expects COLOR-MAJOR positions (compile.py layout)
+        values_cm = np.zeros(P, np.int32)
+        values_cm[dg.pos_of_vid] = assign
+        phis = factor_phis(dgj, jnp.asarray(values_cm))
         got = float(jnp.sum(jnp.asarray(dg.w_init)[dgj.f_wid] * dgj.f_feat * phis))
         assert got == pytest.approx(want, abs=1e-4)
