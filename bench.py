@@ -35,11 +35,10 @@ def hsync(x):
 def main():
     from sampler_tpu.benchgraphs import big_ising_grid
     from sampler_tpu.compile import compile_graph, to_device
-    from sampler_tpu.engine.gibbs import init_values
-    from sampler_tpu.engine.sweep import sweep
+    from sampler_tpu.engine.multichain import init_values_mc, sweep_mc
 
     rows = cols = int(os.environ.get("BENCH_GRID", "1024"))
-    n_chains = int(os.environ.get("BENCH_CHAINS", "4"))
+    n_chains = int(os.environ.get("BENCH_CHAINS", "32"))
     inner = int(os.environ.get("BENCH_INNER", "20"))     # sweeps per call
     outer = int(os.environ.get("BENCH_OUTER", "15"))     # chained calls
 
@@ -50,30 +49,22 @@ def main():
 
     def scan_sweeps(d, v, k):
         def body(vv, i):
-            return sweep(d, vv, d.w_init, jax.random.fold_in(k, i),
-                         False, info), None
+            return sweep_mc(d, vv, d.w_init, jax.random.fold_in(k, i),
+                            False, info), None
         return jax.lax.scan(body, v, jnp.arange(inner))[0]
 
-    if n_chains == 1:
-        run = jax.jit(scan_sweeps)
-        vals = init_values(dgj, jax.random.PRNGKey(0))
-        keys = jax.random.PRNGKey(1)
-        fold = lambda k, i: jax.random.fold_in(k, i)
-    else:
-        run = jax.jit(jax.vmap(scan_sweeps, in_axes=(None, 0, 0)))
-        ks = jax.random.split(jax.random.PRNGKey(0), n_chains)
-        vals = jax.vmap(lambda k: init_values(dgj, k))(ks)
-        keys = ks
-        fold = lambda k, i: jax.vmap(lambda kk: jax.random.fold_in(kk, i))(k)
+    run = jax.jit(scan_sweeps)
+    vals = init_values_mc(dgj, jax.random.PRNGKey(0), n_chains, info)
+    key = jax.random.PRNGKey(1)
 
     t0 = time.time()
-    vals = run(dgj, vals, keys)
+    vals = run(dgj, vals, key)
     hsync(vals)
     compile_s = time.time() - t0
 
     t0 = time.time()
     for i in range(outer):
-        vals = run(dgj, vals, fold(keys, i))
+        vals = run(dgj, vals, jax.random.fold_in(key, i))
     hsync(vals)
     dt = time.time() - t0
 

@@ -97,11 +97,7 @@ def infer(dg, weights, key, n_burn: int, n_sweeps: int, info,
                                     sample_evidence, random_init)
         marg = marginals_from_counts(counts[dg.pos_of_vid], n_sweeps)
         return marg, values
-    keys = jax.random.split(key, n_chains)
-    run = jax.vmap(
-        lambda k: _infer_one(dg, weights, k, n_burn, n_sweeps, info,
-                             sample_evidence, random_init))
-    values, counts = run(keys)
-    marg = marginals_from_counts(counts.sum(0)[dg.pos_of_vid],
-                                 n_sweeps * n_chains)
-    return marg, values
+    from .multichain import infer_mc
+
+    return infer_mc(dg, weights, key, n_burn, n_sweeps, info, n_chains,
+                    sample_evidence, random_init)

@@ -1,0 +1,212 @@
+"""Chains-last multi-chain Gibbs engine — the TPU fast path.
+
+The values-table gather dominates the sweep (~7.6 ns/index on TPU — issue-
+rate bound, not bandwidth bound).  Storing the assignment vector CHAINS-LAST
+as int8 ``values[P, NC]`` makes one index fetch all chains' values in one
+row: measured on TPU v5 lite, a 1.3M-index gather costs the same for NC=32
+as NC=1, and int8 rows are ~4x faster than int32 (see bench notes in the
+round-1 log).  Every downstream tensor carries the trailing chain axis; the
+candidate-substitution literals are chain-independent and broadcast.
+
+This is the TPU-native replacement for both the reference's thread
+parallelism and its single shared world (SURVEY.md §2 parallelism table):
+NC independent chains per chip, pooled tallies.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import format_spec as fs
+from .potentials import eval_phi
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def values_dtype(info):
+    return jnp.int8 if info.max_card <= 127 else jnp.int32
+
+
+def init_values_mc(dg, key, n_chains: int, info, random_init: bool = True):
+    """Initial worlds [P, NC]: evidence at labels, query random per chain."""
+    P = dg.var_card.shape[0]
+    dt = values_dtype(info)
+    base = jnp.broadcast_to(dg.var_init.astype(dt)[:, None], (P, n_chains))
+    if not random_init:
+        return base
+    r = jax.random.randint(key, (P, n_chains), 0, 1 << 30, dtype=jnp.int32)
+    rand_vals = (r % jnp.maximum(dg.var_card, 1)[:, None]).astype(dt)
+    return jnp.where((dg.var_role == 0)[:, None], rand_vals, base)
+
+
+def _eval_phi_ax2(lits, mask, f_type, f_arity, present):
+    """eval_phi with the arity axis at -2 (chain axis trailing).
+
+    Shape contract: lits [.., A, NC]; mask broadcastable to lits;
+    f_type / f_arity have rank == lits.ndim - 1 (every lits axis except A,
+    with broadcast-1 dims where needed, e.g. [B, D, 1, 1] for
+    lits [B, D, K, A, NC] or [F, 1] for lits [F, A, NC]).
+    Returns float32 [.., NC].
+    """
+    if present is None:
+        present = fs.ALL_FACTOR_FUNCS
+    present = tuple(present)
+    lits = lits & mask
+    n = f_arity
+    nlit = jnp.sum(lits, axis=-2).astype(jnp.int32)
+    f32 = jnp.float32
+
+    need_head = any(t in present for t in (
+        fs.FUNC_ISTRUE, fs.FUNC_IMPLY_MLN, fs.FUNC_LINEAR, fs.FUNC_RATIO,
+        fs.FUNC_LOGICAL))
+    if need_head:
+        head_idx = jnp.maximum(n - 1, 0)[..., None]          # [.., 1, 1, 1]
+        idx = jnp.broadcast_to(head_idx, lits.shape[:-2] + (1,) + lits.shape[-1:])
+        head = jnp.take_along_axis(lits, idx, axis=-2)[..., 0, :]
+        headi = head.astype(jnp.int32)
+        nbody = nlit - headi
+        n_body = jnp.maximum(n - 1, 0)
+
+    def variant(t):
+        if t in (fs.FUNC_AND, fs.FUNC_AND_CATEGORICAL, fs.FUNC_IMPLY_NATURAL):
+            return (nlit == n).astype(f32)
+        if t == fs.FUNC_OR:
+            return (nlit > 0).astype(f32)
+        if t == fs.FUNC_EQUAL:
+            return ((nlit == 0) | (nlit == n)).astype(f32)
+        if t == fs.FUNC_ISTRUE:
+            return head.astype(f32)
+        if t == fs.FUNC_IMPLY_MLN:
+            return jnp.where(nbody < n_body, 1.0, head.astype(f32))
+        lin = jnp.where(head, n_body, n_body - nbody).astype(f32)
+        lin = jnp.where(n == 1, head.astype(f32), lin)
+        if t == fs.FUNC_LINEAR:
+            return lin
+        if t == fs.FUNC_RATIO:
+            return jnp.log1p(lin)
+        if t == fs.FUNC_LOGICAL:
+            return (lin > 0).astype(f32)
+        raise ValueError(f"unknown factor function type {t}")
+
+    if len(present) == 1:
+        return variant(present[0])
+    conds = [f_type == t for t in present]
+    vals = [variant(t) for t in present]
+    zero = jnp.zeros_like(vals[0])
+    return jnp.select(conds, vals, default=zero)
+
+
+def color_logits_mc(dg, values, weights, c, info):
+    """Conditional log-potentials [B, K, NC] for color ``c``."""
+    K = info.max_card
+    B = dg.cs_mv.shape[1]
+    mv = dg.cs_mv[c]                  # [B, D, A]
+    pos = dg.cs_pos[c]
+    msk = dg.cs_mask[c]
+    vals = values[mv]                 # [B, D, A, NC]  row gather
+    dt = values.dtype
+    ks = jax.lax.broadcasted_iota(jnp.int32, (K,), 0)
+
+    if info.all_boolean:
+        base_lit = (vals == jnp.asarray(1, dt)) == pos[..., None]
+        cand_lit = (ks[None, None, :, None] == 1) == pos[:, :, None, :]
+    else:
+        eq = dg.cs_eq[c]
+        base_lit = (vals == eq[..., None].astype(dt)) == pos[..., None]
+        cand_lit = (ks[None, None, :, None] == eq[:, :, None, :]) \
+            == pos[:, :, None, :]                      # [B, D, K, A]
+
+    own = c * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0)
+    is_mine = mv == own                                # [B, D, A]
+
+    # [B, D, K, A, NC]: substitute candidate literal at own slots
+    lit_k = jnp.where(is_mine[:, :, None, :, None],
+                      cand_lit[..., None],
+                      base_lit[:, :, None, :, :])
+
+    phi = _eval_phi_ax2(
+        lit_k,
+        msk[:, :, None, :, None],
+        dg.cs_type[c][:, :, None, None],
+        dg.cs_arity[c][:, :, None, None],
+        info.present_funcs,
+    )                                                  # [B, D, K, NC]
+    wf = (weights[dg.cs_wid[c]] * dg.cs_feat[c])[:, :, None, None]
+    return jnp.sum(wf * phi, axis=1)                   # [B, K, NC]
+
+
+def color_step_mc(dg, values, weights, key, c, sample_evidence: bool, info):
+    """Resample color ``c`` in all chains; returns updated values [P, NC]."""
+    B = dg.cs_mv.shape[1]
+    NC = values.shape[1]
+    logits = color_logits_mc(dg, values, weights, c, info)
+    masked = logits + dg.cm_kmask[c][:, :, None]
+    g = jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
+    drawn = jnp.argmax(masked + g, axis=1).astype(values.dtype)   # [B, NC]
+
+    resample = dg.cm_resample_ev[c] if sample_evidence else dg.cm_resample[c]
+    old = jax.lax.dynamic_slice(values, (c * B, 0), (B, NC))
+    new = jnp.where(resample[:, None], drawn, old)
+    return jax.lax.dynamic_update_slice(values, new, (c * B, 0))
+
+
+def sweep_mc(dg, values, weights, key, sample_evidence: bool, info):
+    C = dg.cs_mv.shape[0]
+
+    def body(c, vals):
+        ck = jax.random.fold_in(key, c)
+        return color_step_mc(dg, vals, weights, ck, c, sample_evidence, info)
+
+    return jax.lax.fori_loop(0, C, body, values, unroll=(C <= 4))
+
+
+@partial(jax.jit, static_argnames=("n_sweeps", "sample_evidence", "info"))
+def run_sweeps_mc(dg, values, weights, key, n_sweeps: int,
+                  sample_evidence: bool, info):
+    def body(vals, i):
+        k = jax.random.fold_in(key, i)
+        return sweep_mc(dg, vals, weights, k, sample_evidence, info), None
+
+    return jax.lax.scan(body, values, jnp.arange(n_sweeps))[0]
+
+
+@partial(jax.jit, static_argnames=("n_sweeps", "sample_evidence", "info"))
+def run_inference_mc(dg, values, weights, key, n_sweeps: int,
+                     sample_evidence: bool, info):
+    """Returns (values [P,NC], counts [P,K] pooled over chains)."""
+    P = dg.var_card.shape[0]
+    K = info.max_card
+    # derive the zero init from `values` so its varying-axis type matches
+    # under shard_map (plain zeros would be 'unvarying' and break scan)
+    counts0 = jnp.tile(values[:, :1].astype(jnp.int32) * 0, (1, K))
+    ks = jnp.arange(K, dtype=jnp.int32)
+
+    def body(carry, i):
+        vals, counts = carry
+        k = jax.random.fold_in(key, i)
+        vals = sweep_mc(dg, vals, weights, k, sample_evidence, info)
+        onehot = (vals.astype(jnp.int32)[:, None, :] == ks[None, :, None])
+        counts = counts + jnp.sum(onehot, axis=-1, dtype=jnp.int32)
+        return (vals, counts), None
+
+    (values, counts), _ = jax.lax.scan(body, (values, counts0),
+                                       jnp.arange(n_sweeps))
+    return values, counts
+
+
+def infer_mc(dg, weights, key, n_burn: int, n_sweeps: int, info,
+             n_chains: int, sample_evidence: bool = False,
+             random_init: bool = True):
+    """Chains-last inference; returns (marginals [V,K] float32, values)."""
+    k_init, k_burn, k_inf = jax.random.split(key, 3)
+    values = init_values_mc(dg, k_init, n_chains, info, random_init)
+    if n_burn:
+        values = run_sweeps_mc(dg, values, weights, k_burn, n_burn,
+                               sample_evidence, info)
+    values, counts = run_inference_mc(dg, values, weights, k_inf, n_sweeps,
+                                      sample_evidence, info)
+    marg = counts[dg.pos_of_vid].astype(jnp.float32) / jnp.float32(
+        n_sweeps * n_chains)
+    return marg, values

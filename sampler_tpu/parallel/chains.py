@@ -1,0 +1,152 @@
+"""Multi-chip execution: chains sharded over a device mesh.
+
+TPU-native replacement for the reference's process-level parallelism
+(pthreads + NUMA replicas — SURVEY.md §2 parallelism table):
+
+  * INFERENCE: independent chains are embarrassingly parallel — the chain
+    axis of the chains-last values array [P, NC_total] is sharded over the
+    ``chains`` mesh axis via shard_map; each device sweeps its local
+    [P, NC_local] block with a device-specific key; marginal tallies are
+    summed across devices with one psum at the end (rides ICI).
+  * LEARNING: data-parallel — each device maintains its own evidence/free
+    worlds, computes the weight gradient on local chains, and gradients are
+    pmean'd across the mesh every step (replaces DimmWitted's per-epoch
+    NUMA weight-replica averaging with per-step ICI allreduce).
+
+Graph sharding (variables split across chips for >HBM graphs) is the next
+axis ("graph"); see parallel/ROADMAP in repo docs.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine.learn import apply_update, weight_gradient
+from ..engine.multichain import (init_values_mc, run_inference_mc,
+                                 run_sweeps_mc, sweep_mc, values_dtype)
+
+
+def chains_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()[: n_devices] if n_devices else jax.devices()
+    import numpy as np
+
+    return Mesh(np.asarray(devices), ("chains",))
+
+
+def infer_sharded(dg, weights, key, n_burn: int, n_sweeps: int, info,
+                  mesh: Mesh, chains_per_device: int,
+                  sample_evidence: bool = False):
+    """Sharded multi-chain inference.
+
+    Returns (marginals [V, K] float32 — replicated, values [P, NC_total]).
+    """
+    n_dev = mesh.devices.size
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P("chains")),
+        out_specs=(P(None, "chains"), P()),
+    )
+    def run(dg_l, w, keys):
+        key_l = keys[0]
+        k_init, k_burn, k_inf = jax.random.split(key_l, 3)
+        vals = init_values_mc(dg_l, k_init, chains_per_device, info)
+        if n_burn:
+            vals = run_sweeps_mc(dg_l, vals, w, k_burn, n_burn,
+                                 sample_evidence, info)
+        vals, counts = run_inference_mc(dg_l, vals, w, k_inf, n_sweeps,
+                                        sample_evidence, info)
+        counts = jax.lax.psum(counts, "chains")   # pool tallies over ICI
+        return vals, counts
+
+    keys = jax.random.split(key, n_dev)
+    values, counts = run(dg, weights, keys)
+    marg = counts[dg.pos_of_vid].astype(jnp.float32) / jnp.float32(
+        n_sweeps * chains_per_device * n_dev)
+    return marg, values
+
+
+def learn_step_sharded(dg, weights, v_ev, v_free, key, alpha, cfg, info,
+                       mesh: Mesh):
+    """One data-parallel learning step (jit-able under shard_map).
+
+    v_ev/v_free: [P, NC_local] per device (sharded on chain axis).
+    Gradients are pmean'd across the ``chains`` axis each step.
+    """
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(None, "chains"), P(None, "chains"), P("chains"),
+                  P()),
+        out_specs=(P(), P(None, "chains"), P(None, "chains")),
+    )
+    def step(dg_l, w, v_ev, v_free, keys, alpha):
+        ke, kf = jax.random.split(keys[0])
+        v_ev = sweep_mc(dg_l, v_ev, w, ke, False, info)
+        v_free = sweep_mc(dg_l, v_free, w, kf, True, info)
+        # gradient pooled over local chains, then over devices
+        grad = _mc_weight_gradient(dg_l, v_ev, v_free,
+                                   cfg.learn_non_evidence, info)
+        grad = jax.lax.pmean(grad, "chains")
+        w = apply_update(w, grad, dg_l.w_fixed, alpha, cfg.regularization,
+                         cfg.reg_param)
+        return w, v_ev, v_free
+
+    n_dev = mesh.devices.size
+    keys = jax.random.split(key, n_dev)
+    return step(dg, weights, v_ev, v_free, keys, alpha)
+
+
+def _mc_weight_gradient(dg, v_ev, v_free, learn_non_evidence, info):
+    """Weight gradient averaged over the local chain axis of [P, NC]."""
+    from ..engine.potentials import eval_phi
+
+    def phis(values):
+        # [F', A, NC] literals with arity axis reduced at -2
+        vals = values[dg.f_vids]                      # [F', A, NC]
+        eq = dg.f_eqpred[..., None].astype(values.dtype)
+        lits = (vals == eq) == dg.f_ispos[..., None]
+        from ..engine.multichain import _eval_phi_ax2
+        # f_type/f_arity contract: rank = lits.ndim - 1 (no arity axis)
+        return _eval_phi_ax2(lits, dg.f_mask[..., None],
+                             dg.f_type[:, None],
+                             dg.f_arity[:, None],
+                             info.present_funcs)       # [F', NC]
+
+    diff = dg.f_feat[:, None] * (phis(v_ev) - phis(v_free))
+    if not learn_non_evidence:
+        touches_ev = jnp.any((dg.var_role[dg.f_vids] == 1) & dg.f_mask,
+                             axis=-1)
+        diff = jnp.where(touches_ev[:, None], diff, 0.0)
+    diff = jnp.mean(diff, axis=1)                     # average over chains
+    W = dg.w_init.shape[0]
+    return jax.ops.segment_sum(diff, dg.f_wid, num_segments=W)
+
+
+def learn_sharded(dg, weights, key, cfg, info, mesh: Mesh,
+                  chains_per_device: int = 1):
+    """Full data-parallel learning loop; returns final weights (replicated)."""
+    n_dev = mesh.devices.size
+    k0, k1, kloop = jax.random.split(key, 3)
+
+    shard_chains = NamedSharding(mesh, P(None, "chains"))
+
+    def init_on(k):
+        return init_values_mc(dg, k, chains_per_device * n_dev, info)
+
+    v_ev = jax.device_put(init_on(k0), shard_chains)
+    v_free = jax.device_put(init_on(k1), shard_chains)
+
+    w = jnp.asarray(weights, jnp.float32)
+    alpha = cfg.stepsize
+    for epoch in range(cfg.n_epochs):
+        kk = jax.random.fold_in(kloop, epoch)
+        w, v_ev, v_free = learn_step_sharded(dg, w, v_ev, v_free, kk,
+                                             jnp.float32(alpha), cfg, info,
+                                             mesh)
+        alpha *= cfg.diminish
+    return w

@@ -1,14 +1,20 @@
 """Test config: run on CPU with 8 virtual devices so multi-chip sharding
-paths are exercised without TPU hardware (SURVEY.md §4)."""
-import os
+paths are exercised without TPU hardware (SURVEY.md §4).
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+NOTE the env var JAX_PLATFORMS is NOT enough on this machine — the axon TPU
+PJRT plugin overrides it; jax.config.update after import is required.
+"""
+import os
+import sys
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
