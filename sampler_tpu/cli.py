@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--sample_evidence", action="store_true")
     g.add_argument("--learn_non_evidence", action="store_true")
     g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+                   help="force a JAX platform (the axon TPU plugin ignores "
+                        "JAX_PLATFORMS, so use this flag)")
     g.add_argument("--quiet", "-q", action="store_true")
 
     for name in ("text2bin", "bin2text"):
@@ -67,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def cmd_gibbs(args) -> int:
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms",
+                          "cpu" if args.platform == "cpu" else "axon")
 
     from .compile import compile_graph, to_device
     from .engine.gibbs import infer, init_values, run_sweeps

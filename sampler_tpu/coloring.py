@@ -50,8 +50,14 @@ def greedy_coloring(graph: FactorGraph) -> np.ndarray:
     """Color variables greedily (largest-first order); returns int32 [V].
 
     No two variables sharing a factor get the same color (validated by
-    tests/test_coloring.py).
+    tests/test_coloring.py).  Uses the native C++ colorer when built
+    (sampler_tpu.native); the Python path is the fallback/spec.
     """
+    from . import native
+    if native.available():
+        colors = native.greedy_color(graph.n_vars, graph.f_ptr, graph.e_vid)
+        if colors is not None:
+            return colors
     indptr, indices = variable_adjacency(graph)
     V = graph.n_vars
     degree = np.diff(indptr)

@@ -62,9 +62,12 @@ def _eval_phi_ax2(lits, mask, f_type, f_arity, present):
         fs.FUNC_ISTRUE, fs.FUNC_IMPLY_MLN, fs.FUNC_LINEAR, fs.FUNC_RATIO,
         fs.FUNC_LOGICAL))
     if need_head:
-        head_idx = jnp.maximum(n - 1, 0)[..., None]          # [.., 1, 1, 1]
-        idx = jnp.broadcast_to(head_idx, lits.shape[:-2] + (1,) + lits.shape[-1:])
-        head = jnp.take_along_axis(lits, idx, axis=-2)[..., 0, :]
+        # head literal by mask-reduce — take_along_axis lowers to scalar
+        # code on TPU (~70x slower; round-1 bisect)
+        A = lits.shape[-2]
+        iota_a = jax.lax.broadcasted_iota(jnp.int32, (A, 1), 0)
+        hmask = iota_a == (n - 1)[..., None]
+        head = jnp.any(lits & hmask, axis=-2)
         headi = head.astype(jnp.int32)
         nbody = nlit - headi
         n_body = jnp.maximum(n - 1, 0)

@@ -10,6 +10,7 @@ pinned by tests/test_potentials.py against the NumPy spec.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .. import format_spec as fs
@@ -43,8 +44,12 @@ def eval_phi(lits, mask, f_type, f_arity, present=None):
         fs.FUNC_ISTRUE, fs.FUNC_IMPLY_MLN, fs.FUNC_LINEAR, fs.FUNC_RATIO,
         fs.FUNC_LOGICAL))
     if need_head:
-        head_idx = jnp.maximum(n - 1, 0)
-        head = jnp.take_along_axis(lits, head_idx[..., None], axis=-1)[..., 0]
+        # head literal extracted by mask-reduce, NOT take_along_axis: per-
+        # element dynamic indexing lowers to scalar code on TPU (~70x slower)
+        A = lits.shape[-1]
+        iota_a = jax.lax.broadcasted_iota(jnp.int32, (A,), 0)
+        hmask = iota_a == (n - 1)[..., None]
+        head = jnp.any(lits & hmask, axis=-1)
         headi = head.astype(jnp.int32)
         nbody = nlit - headi
         n_body = jnp.maximum(n - 1, 0)

@@ -127,8 +127,16 @@ def read_factors(path: str):
     """Sequential scan of variable-length factor records.
 
     Returns (f_type, f_wid, f_feat, f_ptr, e_vid, e_ispos, e_eqpred_sparse).
+    Uses the native parser (sampler_tpu.native) when built — the Python
+    loop is the fallback and the executable spec.
     """
-    buf = memoryview(open(path, "rb").read())
+    raw = open(path, "rb").read()
+    from .. import native
+    if native.available():
+        out = native.parse_factors(raw)
+        if out is not None:
+            return out
+    buf = memoryview(raw)
     pos = 0
     f_type, f_wid, f_feat, f_ptr = [], [], [], [0]
     e_vid, e_ispos, e_eq = [], [], []

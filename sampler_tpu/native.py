@@ -1,0 +1,112 @@
+"""ctypes bindings to the native host library (native/sampler_native.cpp).
+
+The C++ library accelerates the serial host-side hot paths — factor-file
+parsing and greedy coloring — mirroring the reference's native loader/
+compiler (ref: src/binary_format.cc, src/factor_graph.cc — recalled).
+Every entry point has a pure-Python fallback; `available()` gates usage so
+the package works without the .so (it is built by `make -C native`).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+from . import format_spec as fs
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_SO_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "native", "libsampler_native.so")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO_PATH):
+        return None
+    lib = ctypes.CDLL(_SO_PATH)
+    i64 = ctypes.c_int64
+    lib.sampler_count_factors.restype = i64
+    lib.sampler_parse_factors.restype = i64
+    lib.sampler_greedy_color.restype = i64
+    lib.sampler_native_version.restype = ctypes.c_char_p
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def version() -> Optional[str]:
+    lib = _load()
+    return lib.sampler_native_version().decode() if lib else None
+
+
+def _cat_table() -> np.ndarray:
+    n = max(fs.ALL_FACTOR_FUNCS) + 1
+    t = np.zeros(n, np.uint8)
+    for f in fs.CATEGORICAL_FUNCS:
+        t[f] = 1
+    return t
+
+
+def parse_factors(buf: bytes):
+    """Native factor-file parse; returns same tuple as io.binary.read_factors
+    or None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.frombuffer(buf, np.uint8)
+    cat = _cat_table()
+    nf = ctypes.c_int64()
+    ne = ctypes.c_int64()
+    rc = lib.sampler_count_factors(
+        data.ctypes.data_as(ctypes.c_void_p), len(data),
+        cat.ctypes.data_as(ctypes.c_void_p), len(cat),
+        ctypes.byref(nf), ctypes.byref(ne))
+    if rc != 0:
+        raise ValueError(f"malformed factors file (native rc={rc})")
+    F, E = nf.value, ne.value
+    f_type = np.empty(F, np.int32)
+    f_wid = np.empty(F, np.int32)
+    f_feat = np.empty(F, np.float64)
+    f_ptr = np.empty(F + 1, np.int64)
+    e_vid = np.empty(E, np.int64)
+    e_ispos = np.empty(E, np.uint8)
+    e_eq = np.empty(E, np.int64)
+    lib.sampler_parse_factors(
+        data.ctypes.data_as(ctypes.c_void_p), len(data),
+        cat.ctypes.data_as(ctypes.c_void_p), len(cat),
+        f_type.ctypes.data_as(ctypes.c_void_p),
+        f_wid.ctypes.data_as(ctypes.c_void_p),
+        f_feat.ctypes.data_as(ctypes.c_void_p),
+        f_ptr.ctypes.data_as(ctypes.c_void_p),
+        e_vid.ctypes.data_as(ctypes.c_void_p),
+        e_ispos.ctypes.data_as(ctypes.c_void_p),
+        e_eq.ctypes.data_as(ctypes.c_void_p))
+    return (f_type, f_wid, f_feat, f_ptr, e_vid, e_ispos.astype(bool), e_eq)
+
+
+def greedy_color(n_vars: int, f_ptr: np.ndarray, e_vid: np.ndarray):
+    """Native greedy coloring; returns int32 [V] colors or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    f_ptr = np.ascontiguousarray(f_ptr, np.int64)
+    e_vid = np.ascontiguousarray(e_vid, np.int64)
+    colors = np.empty(n_vars, np.int32)
+    n = lib.sampler_greedy_color(
+        ctypes.c_int64(n_vars), ctypes.c_int64(len(f_ptr) - 1),
+        f_ptr.ctypes.data_as(ctypes.c_void_p),
+        e_vid.ctypes.data_as(ctypes.c_void_p),
+        colors.ctypes.data_as(ctypes.c_void_p))
+    if n <= 0:
+        raise RuntimeError("native coloring failed")
+    return colors
