@@ -38,7 +38,7 @@ def main():
     from sampler_tpu.engine.multichain import init_values_mc, sweep_mc
 
     rows = cols = int(os.environ.get("BENCH_GRID", "1024"))
-    n_chains = int(os.environ.get("BENCH_CHAINS", "32"))
+    n_chains = int(os.environ.get("BENCH_CHAINS", "64"))
     inner = int(os.environ.get("BENCH_INNER", "20"))     # sweeps per call
     outer = int(os.environ.get("BENCH_OUTER", "15"))     # chained calls
 

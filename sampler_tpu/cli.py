@@ -114,7 +114,12 @@ def cmd_gibbs(args) -> int:
             reg_param=args.reg_param,
             learn_non_evidence=args.learn_non_evidence,
         )
-        weights, _, _ = learn(dgj, weights, k_learn, cfg, info)
+        if n_chains > 1:
+            from .engine.multichain import learn_mc
+            weights, _, _ = learn_mc(dgj, weights, k_learn, cfg, info,
+                                     n_chains)
+        else:
+            weights, _, _ = learn(dgj, weights, k_learn, cfg, info)
         weights.block_until_ready()
         dt = time.time() - t0
         sweeps = args.n_learning_epoch * cfg.n_sweeps_per_epoch

@@ -61,7 +61,12 @@ class DeviceGraph(NamedTuple):
     f_arity: np.ndarray   # int32 (dummy → 1)
     # color-major incidence streams — the sweep's hot data.  One record per
     # (variable-of-color, incident-factor-slot); contiguous streaming.
-    cs_mv: np.ndarray      # int32 [C, B, D, A] member positions (pad → C*B)
+    cs_mv: np.ndarray      # int32 [C, B, D, A] member positions; the OWN
+                           # variable's slots point at the dummy row (their
+                           # gathered value is never used — it is replaced by
+                           # the candidate), which turns 1/A of the gather's
+                           # cache misses into hot-row hits
+    cs_ismine: np.ndarray  # bool  [C, B, D, A] slots owned by this variable
     cs_pos: np.ndarray     # bool  [C, B, D, A]
     cs_eq: np.ndarray      # int32 [C, B, D, A]
     cs_mask: np.ndarray    # bool  [C, B, D, A]
@@ -183,6 +188,9 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
     # --- color-major incidence streams [C, B, D, ...] ------------------
     fi = v_fidx[:-1].reshape(C, B, D)        # [C, B, D]
     cs_mv = f_vids[fi]                       # [C, B, D, A]
+    own = np.arange(C * B, dtype=np.int32).reshape(C, B)[:, :, None, None]
+    cs_ismine = cs_mv == own
+    cs_mv = np.where(cs_ismine, np.int32(DUMMY), cs_mv)
     cs_pos = f_ispos[fi]
     cs_eq = f_eqpred[fi]
     cs_mask = f_mask[fi]
@@ -194,7 +202,8 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
     dg = DeviceGraph(
         f_vids=f_vids, f_ispos=f_ispos, f_eqpred=f_eqpred, f_mask=f_mask,
         f_type=f_type, f_wid=f_wid, f_feat=f_feat, f_arity=f_arity,
-        cs_mv=cs_mv, cs_pos=cs_pos, cs_eq=cs_eq, cs_mask=cs_mask,
+        cs_mv=cs_mv, cs_ismine=cs_ismine,
+        cs_pos=cs_pos, cs_eq=cs_eq, cs_mask=cs_mask,
         cs_type=cs_type, cs_arity=cs_arity, cs_wid=cs_wid, cs_feat=cs_feat,
         var_card=var_card, var_role=var_role, var_init=var_init,
         cm_card=cm_card, cm_role=cm_role,

@@ -121,8 +121,7 @@ def color_logits_mc(dg, values, weights, c, info):
         cand_lit = (ks[None, None, :, None] == eq[:, :, None, :]) \
             == pos[:, :, None, :]                      # [B, D, K, A]
 
-    own = c * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0)
-    is_mine = mv == own                                # [B, D, A]
+    is_mine = dg.cs_ismine[c]                          # [B, D, A] streamed
 
     # [B, D, K, A, NC]: substitute candidate literal at own slots
     lit_k = jnp.where(is_mine[:, :, None, :, None],
@@ -197,6 +196,69 @@ def run_inference_mc(dg, values, weights, key, n_sweeps: int,
     (values, counts), _ = jax.lax.scan(body, (values, counts0),
                                        jnp.arange(n_sweeps))
     return values, counts
+
+
+def mc_factor_phis(dg, values, info):
+    """φ for every factor in every chain: [F', NC] (values [P, NC])."""
+    vals = values[dg.f_vids]                           # [F', A, NC]
+    eq = dg.f_eqpred[..., None].astype(values.dtype)
+    lits = (vals == eq) == dg.f_ispos[..., None]
+    return _eval_phi_ax2(lits, dg.f_mask[..., None],
+                         dg.f_type[:, None],
+                         dg.f_arity[:, None],
+                         info.present_funcs)
+
+
+def mc_weight_gradient(dg, v_ev, v_free, learn_non_evidence: bool, info):
+    """Weight gradient averaged over the chain axis of [P, NC] worlds."""
+    diff = dg.f_feat[:, None] * (mc_factor_phis(dg, v_ev, info)
+                                 - mc_factor_phis(dg, v_free, info))
+    if not learn_non_evidence:
+        touches_ev = jnp.any((dg.var_role[dg.f_vids] == 1) & dg.f_mask,
+                             axis=-1)
+        diff = jnp.where(touches_ev[:, None], diff, 0.0)
+    diff = jnp.mean(diff, axis=1)
+    W = dg.w_init.shape[0]
+    return jax.ops.segment_sum(diff, dg.f_wid, num_segments=W)
+
+
+@partial(jax.jit, static_argnames=("cfg", "info", "n_chains"))
+def learn_mc(dg, weights, key, cfg, info, n_chains: int):
+    """Multi-chain contrastive SGD: NC evidence worlds + NC free worlds,
+    chain-averaged gradients (a mini-batch over worlds).  Same update rule
+    and fixed points as engine.learn (SURVEY.md §2c)."""
+    from .learn import apply_update
+
+    k0, k1, kscan = jax.random.split(key, 3)
+    v_ev = init_values_mc(dg, k0, n_chains, info)
+    v_free = init_values_mc(dg, k1, n_chains, info)
+
+    def epoch(carry, i):
+        w, v_ev, v_free, alpha = carry
+        ki = jax.random.fold_in(kscan, i)
+
+        def one_sweep(c, j):
+            v_ev, v_free = c
+            kj = jax.random.fold_in(ki, j)
+            v_ev = sweep_mc(dg, v_ev, w, jax.random.fold_in(kj, 0),
+                            False, info)
+            v_free = sweep_mc(dg, v_free, w, jax.random.fold_in(kj, 1),
+                              True, info)
+            return (v_ev, v_free), None
+
+        (v_ev, v_free), _ = jax.lax.scan(
+            one_sweep, (v_ev, v_free), jnp.arange(cfg.n_sweeps_per_epoch))
+        grad = mc_weight_gradient(dg, v_ev, v_free, cfg.learn_non_evidence,
+                                  info)
+        w = apply_update(w, grad, dg.w_fixed, alpha, cfg.regularization,
+                         cfg.reg_param)
+        return (w, v_ev, v_free, alpha * cfg.diminish), None
+
+    init = (jnp.asarray(weights, jnp.float32), v_ev, v_free,
+            jnp.float32(cfg.stepsize))
+    (w, v_ev, v_free, _), _ = jax.lax.scan(epoch, init,
+                                           jnp.arange(cfg.n_epochs))
+    return w, v_ev, v_free
 
 
 def infer_mc(dg, weights, key, n_burn: int, n_sweeps: int, info,

@@ -51,8 +51,7 @@ def color_logits(dg, values, weights, c, info):
         cand_lit = (ks[None, None, :, None] == eq[:, :, None, :]) \
             == pos[:, :, None, :]
 
-    own = c * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0)
-    is_mine = mv == own                                   # [B, D, A]
+    is_mine = dg.cs_ismine[c]                             # [B, D, A] streamed
     lit_k = jnp.where(is_mine[:, :, None, :], cand_lit, base_lit[:, :, None, :])
 
     phi = eval_phi(

@@ -89,8 +89,9 @@ def learn_step_sharded(dg, weights, v_ev, v_free, key, alpha, cfg, info,
         v_ev = sweep_mc(dg_l, v_ev, w, ke, False, info)
         v_free = sweep_mc(dg_l, v_free, w, kf, True, info)
         # gradient pooled over local chains, then over devices
-        grad = _mc_weight_gradient(dg_l, v_ev, v_free,
-                                   cfg.learn_non_evidence, info)
+        from ..engine.multichain import mc_weight_gradient
+        grad = mc_weight_gradient(dg_l, v_ev, v_free,
+                                  cfg.learn_non_evidence, info)
         grad = jax.lax.pmean(grad, "chains")
         w = apply_update(w, grad, dg_l.w_fixed, alpha, cfg.regularization,
                          cfg.reg_param)
@@ -99,32 +100,6 @@ def learn_step_sharded(dg, weights, v_ev, v_free, key, alpha, cfg, info,
     n_dev = mesh.devices.size
     keys = jax.random.split(key, n_dev)
     return step(dg, weights, v_ev, v_free, keys, alpha)
-
-
-def _mc_weight_gradient(dg, v_ev, v_free, learn_non_evidence, info):
-    """Weight gradient averaged over the local chain axis of [P, NC]."""
-    from ..engine.potentials import eval_phi
-
-    def phis(values):
-        # [F', A, NC] literals with arity axis reduced at -2
-        vals = values[dg.f_vids]                      # [F', A, NC]
-        eq = dg.f_eqpred[..., None].astype(values.dtype)
-        lits = (vals == eq) == dg.f_ispos[..., None]
-        from ..engine.multichain import _eval_phi_ax2
-        # f_type/f_arity contract: rank = lits.ndim - 1 (no arity axis)
-        return _eval_phi_ax2(lits, dg.f_mask[..., None],
-                             dg.f_type[:, None],
-                             dg.f_arity[:, None],
-                             info.present_funcs)       # [F', NC]
-
-    diff = dg.f_feat[:, None] * (phis(v_ev) - phis(v_free))
-    if not learn_non_evidence:
-        touches_ev = jnp.any((dg.var_role[dg.f_vids] == 1) & dg.f_mask,
-                             axis=-1)
-        diff = jnp.where(touches_ev[:, None], diff, 0.0)
-    diff = jnp.mean(diff, axis=1)                     # average over chains
-    W = dg.w_init.shape[0]
-    return jax.ops.segment_sum(diff, dg.f_wid, num_segments=W)
 
 
 def learn_sharded(dg, weights, key, cfg, info, mesh: Mesh,

@@ -51,6 +51,22 @@ def test_l2_regularization_shrinks():
     assert float(w0[0]) > 0.5  # sanity: data is heads-biased
 
 
+def test_multichain_learning_recovers_log_odds():
+    """learn_mc (chain-averaged gradients) must reach the same fixed point."""
+    from sampler_tpu.engine.multichain import learn_mc
+    g = fixtures.labeled_coin_graph(n_flips=400, p_heads=0.75, seed=2)
+    p_hat = g.var_init.mean()
+    w_star = np.log(p_hat / (1 - p_hat))
+    dg, info = compile_graph(g)
+    dgj = to_device(dg)
+    cfg = LearnConfig(n_epochs=300, stepsize=0.03, diminish=0.995,
+                      regularization="none")
+    w, _, _ = learn_mc(dgj, dgj.w_init, jax.random.PRNGKey(0), cfg, info,
+                       n_chains=8)
+    assert float(w[0]) == pytest.approx(w_star, abs=0.12), \
+        f"learned {float(w[0]):.3f}, want {w_star:.3f}"
+
+
 def test_two_weight_separation():
     """Two independent coin populations with different biases must learn
     different weights matching their own log-odds."""
