@@ -1,0 +1,46 @@
+"""Graph-sharded sweep parity on a ("chains", "graph") CPU mesh."""
+import jax
+import numpy as np
+import pytest
+
+from sampler_tpu import fixtures, oracle
+from sampler_tpu.compile import compile_graph, to_device
+from sampler_tpu.parallel.graph_shard import infer_gs, make_mesh
+
+
+@pytest.mark.parametrize("n_chains_ax,n_graph", [(2, 4), (4, 2), (1, 8)])
+def test_graph_sharded_parity(n_chains_ax, n_graph):
+    g = fixtures.ising_grid(4, 4, w_pair=0.4, w_bias=0.2)
+    dg, info = compile_graph(g, align=8 * n_graph)
+    dgj = to_device(dg)
+    mesh = make_mesh(n_chains_ax, n_graph)
+    marg = infer_gs(dgj, dgj.w_init, jax.random.PRNGKey(0), n_burn=200,
+                    n_sweeps=2500, info=info, mesh=mesh,
+                    chains_per_device=max(2, 8 // n_chains_ax))
+    exact = oracle.exact_marginals(g)
+    err = np.abs(np.asarray(marg)[:, :2] - exact).max()
+    assert err < 0.012, f"max |dp| = {err:.4f}"
+
+
+def test_graph_sharded_evidence():
+    g = fixtures.all_functions_graph()
+    dg, info = compile_graph(g, align=16)
+    dgj = to_device(dg)
+    mesh = make_mesh(4, 2)
+    marg = infer_gs(dgj, dgj.w_init, jax.random.PRNGKey(1), n_burn=200,
+                    n_sweeps=2500, info=info, mesh=mesh, chains_per_device=2)
+    exact = oracle.exact_marginals(g)
+    free = g.var_role == 0
+    err = np.abs(np.asarray(marg)[:, :2] - exact)[free].max()
+    assert err < 0.012, f"max |dp| = {err:.4f}"
+
+
+def test_block_divisibility_check():
+    g = fixtures.ising_grid(3, 3)
+    dg, info = compile_graph(g, align=8)  # B=8 not divisible by 3
+    dgj = to_device(dg)
+    mesh = make_mesh(1, 3) if len(jax.devices()) >= 3 else None
+    if mesh is None:
+        pytest.skip("needs 3 devices")
+    with pytest.raises(ValueError):
+        infer_gs(dgj, dgj.w_init, jax.random.PRNGKey(0), 1, 1, info, mesh, 1)
