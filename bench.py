@@ -38,9 +38,9 @@ def main():
     from sampler_tpu.engine.multichain import init_values_mc, sweep_mc
 
     rows = cols = int(os.environ.get("BENCH_GRID", "1024"))
-    n_chains = int(os.environ.get("BENCH_CHAINS", "64"))
-    inner = int(os.environ.get("BENCH_INNER", "20"))     # sweeps per call
-    outer = int(os.environ.get("BENCH_OUTER", "15"))     # chained calls
+    n_chains = int(os.environ.get("BENCH_CHAINS", "512"))
+    inner = int(os.environ.get("BENCH_INNER", "10"))     # sweeps per call
+    outer = int(os.environ.get("BENCH_OUTER", "6"))      # chained calls
 
     g, colors = big_ising_grid(rows, cols)
     dg, info = compile_graph(g, colors=colors)

@@ -22,7 +22,7 @@ Sentinels instead of masks wherever possible:
   * a DUMMY FACTOR row at index F has feature 0.0 so its contribution to
     any sum is exactly 0.
 
-All factor member ids (f_vids, cs_mv) are stored as color-major POSITIONS,
+All factor member ids (f_vids, cs_nbr) are stored as color-major POSITIONS,
 not original variable ids; ``pos_of_vid`` maps back for user-facing output.
 """
 from __future__ import annotations
@@ -61,12 +61,18 @@ class DeviceGraph(NamedTuple):
     f_arity: np.ndarray   # int32 (dummy → 1)
     # color-major incidence streams — the sweep's hot data.  One record per
     # (variable-of-color, incident-factor-slot); contiguous streaming.
-    cs_mv: np.ndarray      # int32 [C, B, D, A] member positions; the OWN
-                           # variable's slots point at the dummy row (their
-                           # gathered value is never used — it is replaced by
-                           # the candidate), which turns 1/A of the gather's
-                           # cache misses into hot-row hits
+    # SLOTS ARE PERMUTED OWN-LAST per (variable, factor): the slots owned by
+    # the updating variable sit at the tail of the A axis, so the values
+    # gather touches ONLY the leading A-1 neighbor slots (cs_nbr) — the
+    # gather is TPU-issue-rate bound (~11 ns/row regardless of row width),
+    # so dropping the own slots halves its cost on pairwise graphs.
+    cs_nbr: np.ndarray     # int32 [C, B, D, A-1] neighbor positions
+                           #       (own/pad slots → dummy position)
     cs_ismine: np.ndarray  # bool  [C, B, D, A] slots owned by this variable
+                           #       (own-last: trailing n_own slots True)
+    cs_hmask: np.ndarray   # bool  [C, B, D, A] slot is the factor HEAD
+                           #       (original slot arity-1); explicit because
+                           #       the permutation breaks iota==arity-1
     cs_pos: np.ndarray     # bool  [C, B, D, A]
     cs_eq: np.ndarray      # int32 [C, B, D, A]
     cs_mask: np.ndarray    # bool  [C, B, D, A]
@@ -190,19 +196,31 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
     cs_mv = f_vids[fi]                       # [C, B, D, A]
     own = np.arange(C * B, dtype=np.int32).reshape(C, B)[:, :, None, None]
     cs_ismine = cs_mv == own
-    cs_mv = np.where(cs_ismine, np.int32(DUMMY), cs_mv)
-    cs_pos = f_ispos[fi]
-    cs_eq = f_eqpred[fi]
-    cs_mask = f_mask[fi]
-    cs_type = f_type[fi]
     cs_arity = f_arity[fi]
+    # head slot = original slot arity-1, before the own-last permutation
+    cs_hmask = (np.arange(A, dtype=np.int32)[None, None, None, :]
+                == cs_arity[..., None] - 1) & f_mask[fi]
+
+    # permute each (variable, factor) slot list OWN-LAST (stable: neighbor
+    # slots keep their relative order); slot A-1 is then always own for real
+    # incident factors (n_own >= 1), so the gather needs only slots :A-1
+    perm = np.argsort(cs_ismine, axis=-1, kind="stable")
+    take = np.take_along_axis
+    cs_mv = take(cs_mv, perm, axis=-1)
+    cs_ismine = take(cs_ismine, perm, axis=-1)
+    cs_hmask = take(cs_hmask, perm, axis=-1)
+    cs_pos = take(f_ispos[fi], perm, axis=-1)
+    cs_eq = take(f_eqpred[fi], perm, axis=-1)
+    cs_mask = take(f_mask[fi], perm, axis=-1)
+    cs_nbr = np.where(cs_ismine, np.int32(DUMMY), cs_mv)[..., : A - 1]
+    cs_type = f_type[fi]
     cs_wid = f_wid[fi]
     cs_feat = f_feat[fi]
 
     dg = DeviceGraph(
         f_vids=f_vids, f_ispos=f_ispos, f_eqpred=f_eqpred, f_mask=f_mask,
         f_type=f_type, f_wid=f_wid, f_feat=f_feat, f_arity=f_arity,
-        cs_mv=cs_mv, cs_ismine=cs_ismine,
+        cs_nbr=cs_nbr, cs_ismine=cs_ismine, cs_hmask=cs_hmask,
         cs_pos=cs_pos, cs_eq=cs_eq, cs_mask=cs_mask,
         cs_type=cs_type, cs_arity=cs_arity, cs_wid=cs_wid, cs_feat=cs_feat,
         var_card=var_card, var_role=var_role, var_init=var_init,

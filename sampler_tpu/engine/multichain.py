@@ -41,13 +41,16 @@ def init_values_mc(dg, key, n_chains: int, info, random_init: bool = True):
     return jnp.where((dg.var_role == 0)[:, None], rand_vals, base)
 
 
-def _eval_phi_ax2(lits, mask, f_type, f_arity, present):
+def _eval_phi_ax2(lits, mask, f_type, f_arity, present, hmask=None):
     """eval_phi with the arity axis at -2 (chain axis trailing).
 
     Shape contract: lits [.., A, NC]; mask broadcastable to lits;
     f_type / f_arity have rank == lits.ndim - 1 (every lits axis except A,
     with broadcast-1 dims where needed, e.g. [B, D, 1, 1] for
     lits [B, D, K, A, NC] or [F, 1] for lits [F, A, NC]).
+    hmask: optional bool broadcastable to lits marking the HEAD slot —
+    required when the A axis is slot-permuted (compile.py own-last layout);
+    None derives it as original slot arity-1.
     Returns float32 [.., NC].
     """
     if present is None:
@@ -58,16 +61,31 @@ def _eval_phi_ax2(lits, mask, f_type, f_arity, present):
     nlit = jnp.sum(lits, axis=-2).astype(jnp.int32)
     f32 = jnp.float32
 
-    need_head = any(t in present for t in (
+    if _need_head(present):
+        if hmask is None:
+            # head literal by mask-reduce — take_along_axis lowers to scalar
+            # code on TPU (~70x slower; round-1 bisect)
+            A = lits.shape[-2]
+            iota_a = jax.lax.broadcasted_iota(jnp.int32, (A, 1), 0)
+            hmask = iota_a == (n - 1)[..., None]
+        head = jnp.any(lits & hmask, axis=-2)
+    else:
+        head = None
+    return _phi_from_counts(nlit, head, n, f_type, present)
+
+
+def _need_head(present) -> bool:
+    return any(t in present for t in (
         fs.FUNC_ISTRUE, fs.FUNC_IMPLY_MLN, fs.FUNC_LINEAR, fs.FUNC_RATIO,
         fs.FUNC_LOGICAL))
-    if need_head:
-        # head literal by mask-reduce — take_along_axis lowers to scalar
-        # code on TPU (~70x slower; round-1 bisect)
-        A = lits.shape[-2]
-        iota_a = jax.lax.broadcasted_iota(jnp.int32, (A, 1), 0)
-        hmask = iota_a == (n - 1)[..., None]
-        head = jnp.any(lits & hmask, axis=-2)
+
+
+def _phi_from_counts(nlit, head, n, f_type, present):
+    """φ from sufficient statistics: nlit = # true literals, head = head
+    literal (None if no present type needs it), n = true arity.
+    Branchless over `present`; all args broadcast together."""
+    f32 = jnp.float32
+    if head is not None:
         headi = head.astype(jnp.int32)
         nbody = nlit - headi
         n_body = jnp.maximum(n - 1, 0)
@@ -101,32 +119,58 @@ def _eval_phi_ax2(lits, mask, f_type, f_arity, present):
     return jnp.select(conds, vals, default=zero)
 
 
+def _nbr_lits(dg, values, c, info):
+    """Gather + literal-ize the NEIGHBOR slots of color ``c``.
+
+    Returns (nbr_lit [B, D, A-1, NC] bool, pos [B,D,A], eq [B,D,A]).
+    Only the leading A-1 (own-last-permuted) slots are gathered — the own
+    slots' literals come from the candidate, so fetching them would waste
+    gather issue slots (the sweep's dominant cost).
+    """
+    nbr = dg.cs_nbr[c]                # [B, D, A-1]
+    pos = dg.cs_pos[c]                # [B, D, A]
+    eq = None if info.all_boolean else dg.cs_eq[c]
+    dt = values.dtype
+    A1 = nbr.shape[-1]
+    if A1 == 0:                       # unary-only graph: nothing to gather
+        NC = values.shape[-1]
+        return jnp.zeros(nbr.shape + (NC,), bool), pos, eq
+    vals = values[nbr]                # [B, D, A-1, NC]  row gather
+    if eq is None:
+        nbr_lit = (vals == jnp.asarray(1, dt)) == pos[..., :A1, None]
+    else:
+        nbr_lit = (vals == eq[..., :A1, None].astype(dt)) \
+            == pos[..., :A1, None]
+    return nbr_lit, pos, eq
+
+
 def color_logits_mc(dg, values, weights, c, info):
     """Conditional log-potentials [B, K, NC] for color ``c``."""
     K = info.max_card
-    B = dg.cs_mv.shape[1]
-    mv = dg.cs_mv[c]                  # [B, D, A]
-    pos = dg.cs_pos[c]
+    A = dg.cs_mask.shape[-1]
+    nbr_lit, pos, eq = _nbr_lits(dg, values, c, info)
+    A1 = A - 1
     msk = dg.cs_mask[c]
-    vals = values[mv]                 # [B, D, A, NC]  row gather
-    dt = values.dtype
     ks = jax.lax.broadcasted_iota(jnp.int32, (K,), 0)
 
-    if info.all_boolean:
-        base_lit = (vals == jnp.asarray(1, dt)) == pos[..., None]
+    if eq is None:
         cand_lit = (ks[None, None, :, None] == 1) == pos[:, :, None, :]
     else:
-        eq = dg.cs_eq[c]
-        base_lit = (vals == eq[..., None].astype(dt)) == pos[..., None]
         cand_lit = (ks[None, None, :, None] == eq[:, :, None, :]) \
             == pos[:, :, None, :]                      # [B, D, K, A]
 
     is_mine = dg.cs_ismine[c]                          # [B, D, A] streamed
 
-    # [B, D, K, A, NC]: substitute candidate literal at own slots
-    lit_k = jnp.where(is_mine[:, :, None, :, None],
-                      cand_lit[..., None],
-                      base_lit[:, :, None, :, :])
+    # [B, D, K, A, NC]: candidate at own slots, gathered at neighbor slots.
+    # Slot A-1 is always own (own-last permutation), so only the leading
+    # A-1 slots select between candidate and neighbor.
+    NC = values.shape[-1]
+    lit_head = jnp.where(is_mine[:, :, None, :A1, None],
+                         cand_lit[:, :, :, :A1, None],
+                         nbr_lit[:, :, None, :, :])
+    lit_last = jnp.broadcast_to(cand_lit[:, :, :, A1:, None],
+                                lit_head.shape[:3] + (1, NC))
+    lit_k = jnp.concatenate([lit_head, lit_last], axis=-2)
 
     phi = _eval_phi_ax2(
         lit_k,
@@ -134,19 +178,69 @@ def color_logits_mc(dg, values, weights, c, info):
         dg.cs_type[c][:, :, None, None],
         dg.cs_arity[c][:, :, None, None],
         info.present_funcs,
+        hmask=dg.cs_hmask[c][:, :, None, :, None],
     )                                                  # [B, D, K, NC]
     wf = (weights[dg.cs_wid[c]] * dg.cs_feat[c])[:, :, None, None]
     return jnp.sum(wf * phi, axis=1)                   # [B, K, NC]
 
 
-def color_step_mc(dg, values, weights, key, c, sample_evidence: bool, info):
-    """Resample color ``c`` in all chains; returns updated values [P, NC]."""
-    B = dg.cs_mv.shape[1]
-    NC = values.shape[1]
+def color_delta_bool(dg, values, weights, c, info):
+    """Boolean fast path: logit(v=1) − logit(v=0), [B, NC], for color ``c``.
+
+    Skips the K-candidate axis of the general path entirely: the candidate
+    contribution at own slots reduces to compile-time literal counts
+    (k=1 → own literal == ispos; k=0 → == ¬ispos), so φ(1) − φ(0) needs one
+    [B, D, NC] evaluation instead of [B, D, K, A, NC].  Paired with a
+    uniform-sigmoid draw this is distribution-identical to Gumbel-argmax
+    over two candidates.
+    """
+    nbr_lit, pos, _ = _nbr_lits(dg, values, c, info)   # [B, D, A-1, NC]
+    msk = dg.cs_mask[c]
+    ismine = dg.cs_ismine[c]
+    A1 = nbr_lit.shape[-2]
+    present = info.present_funcs
+
+    nbrm = (msk & ~ismine)[..., :A1, None]
+    nl = jnp.sum(nbr_lit & nbrm, axis=-2).astype(jnp.int32)   # [B, D, NC]
+    ownm = ismine & msk
+    o1 = jnp.sum(ownm & pos, axis=-1).astype(jnp.int32)[..., None]  # [B,D,1]
+    o0 = jnp.sum(ownm, axis=-1).astype(jnp.int32)[..., None] - o1
+    n = dg.cs_arity[c][..., None]
+
+    if _need_head(present):
+        hmask = dg.cs_hmask[c]
+        head_own = jnp.any(hmask & ismine, axis=-1)[..., None]
+        headpos = jnp.any(hmask & ismine & pos, axis=-1)[..., None]
+        hl = jnp.any(nbr_lit & (hmask & ~ismine)[..., :A1, None], axis=-2)
+        head1 = jnp.where(head_own, headpos, hl)
+        head0 = jnp.where(head_own, ~headpos, hl)
+    else:
+        head1 = head0 = None
+
+    f_type = dg.cs_type[c][..., None]
+    phi1 = _phi_from_counts(nl + o1, head1, n, f_type, present)
+    phi0 = _phi_from_counts(nl + o0, head0, n, f_type, present)
+    wf = (weights[dg.cs_wid[c]] * dg.cs_feat[c])[..., None]   # [B, D, 1]
+    return jnp.sum(wf * (phi1 - phi0), axis=1)                # [B, NC]
+
+
+def color_draw_mc(dg, values, weights, key, c, info):
+    """Draw new candidate values [B, NC] for color ``c`` (no write-back)."""
+    if info.all_boolean and info.max_card == 2:
+        delta = color_delta_bool(dg, values, weights, c, info)
+        u = jax.random.uniform(key, delta.shape, dtype=delta.dtype)
+        return (u < jax.nn.sigmoid(delta)).astype(values.dtype)
     logits = color_logits_mc(dg, values, weights, c, info)
     masked = logits + dg.cm_kmask[c][:, :, None]
     g = jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
-    drawn = jnp.argmax(masked + g, axis=1).astype(values.dtype)   # [B, NC]
+    return jnp.argmax(masked + g, axis=1).astype(values.dtype)
+
+
+def color_step_mc(dg, values, weights, key, c, sample_evidence: bool, info):
+    """Resample color ``c`` in all chains; returns updated values [P, NC]."""
+    B = dg.cs_mask.shape[1]
+    NC = values.shape[1]
+    drawn = color_draw_mc(dg, values, weights, key, c, info)      # [B, NC]
 
     resample = dg.cm_resample_ev[c] if sample_evidence else dg.cm_resample[c]
     old = jax.lax.dynamic_slice(values, (c * B, 0), (B, NC))
@@ -155,7 +249,7 @@ def color_step_mc(dg, values, weights, key, c, sample_evidence: bool, info):
 
 
 def sweep_mc(dg, values, weights, key, sample_evidence: bool, info):
-    C = dg.cs_mv.shape[0]
+    C = dg.cs_mask.shape[0]
 
     def body(c, vals):
         ck = jax.random.fold_in(key, c)

@@ -10,7 +10,7 @@ Values live permanently in COLOR-MAJOR order (compile.py): color c owns the
 contiguous slice [c*B, (c+1)*B) of the assignment vector, so a color step is
 
     stream  cs_* tables [B, D, ...]     (contiguous dynamic slices)
-    gather  values[cs_mv]               (the ONLY gather — small table)
+    gather  values[cs_nbr]              (the ONLY gather — neighbor slots)
     eval    φ specialized to present factor types   (VPU, branchless)
     reduce  logits[B, K] = Σ_d w·feat·φ
     draw    Gumbel-argmax over masked candidates
@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .potentials import eval_phi
+from .multichain import color_draw_mc, color_logits_mc
 
 NEG_INF = jnp.float32(-1e30)
 
@@ -29,40 +29,13 @@ NEG_INF = jnp.float32(-1e30)
 def color_logits(dg, values, weights, c, info):
     """Conditional log-potentials [B, K] for color ``c`` (traced index).
 
-    The candidate value is substituted at EVERY slot of the factor whose
-    member is this variable (``mv == own position``), so factors mentioning
-    the same variable in several slots are handled exactly (each distinct
-    incident factor appears once — compile.py dedups the incidence lists).
+    Thin single-chain wrapper over the chains-last kernel (NC=1): the
+    candidate value is substituted at EVERY slot of the factor whose member
+    is this variable, so factors mentioning the same variable in several
+    slots are handled exactly (each distinct incident factor appears once —
+    compile.py dedups the incidence lists).
     """
-    K = info.max_card
-    B = dg.cs_mv.shape[1]
-    mv = dg.cs_mv[c]                  # [B, D, A]  contiguous slice
-    pos = dg.cs_pos[c]
-    msk = dg.cs_mask[c]
-    vals = values[mv]                 # [B, D, A]  gather from small table
-    ks = jax.lax.broadcasted_iota(jnp.int32, (K,), 0)
-
-    if info.all_boolean:
-        base_lit = (vals == 1) == pos                     # [B, D, A]
-        cand_lit = (ks[None, None, :, None] == 1) == pos[:, :, None, :]
-    else:
-        eq = dg.cs_eq[c]
-        base_lit = (vals == eq) == pos
-        cand_lit = (ks[None, None, :, None] == eq[:, :, None, :]) \
-            == pos[:, :, None, :]
-
-    is_mine = dg.cs_ismine[c]                             # [B, D, A] streamed
-    lit_k = jnp.where(is_mine[:, :, None, :], cand_lit, base_lit[:, :, None, :])
-
-    phi = eval_phi(
-        lit_k,
-        msk[:, :, None, :],
-        dg.cs_type[c][:, :, None],
-        dg.cs_arity[c][:, :, None],
-        info.present_funcs,
-    )                                                     # [B, D, K]
-    contrib = (weights[dg.cs_wid[c]] * dg.cs_feat[c])[..., None] * phi
-    return jnp.sum(contrib, axis=1)                       # [B, K]
+    return color_logits_mc(dg, values[:, None], weights, c, info)[..., 0]
 
 
 def color_step(dg, values, weights, key, c, sample_evidence: bool, info):
@@ -73,12 +46,8 @@ def color_step(dg, values, weights, key, c, sample_evidence: bool, info):
     at runtime from sliced metadata triggers a ~400x-slower Mosaic lowering
     on TPU.
     """
-    B = dg.cs_mv.shape[1]
-    logits = color_logits(dg, values, weights, c, info)
-
-    masked = logits + dg.cm_kmask[c]
-    g = jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
-    drawn = jnp.argmax(masked + g, axis=-1).astype(values.dtype)
+    B = dg.cs_mask.shape[1]
+    drawn = color_draw_mc(dg, values[:, None], weights, key, c, info)[:, 0]
 
     resample = dg.cm_resample_ev[c] if sample_evidence else dg.cm_resample[c]
     old = jax.lax.dynamic_slice(values, (c * B,), (B,))
@@ -89,7 +58,7 @@ def color_step(dg, values, weights, key, c, sample_evidence: bool, info):
 def sweep(dg, values, weights, key, sample_evidence: bool, info):
     """One full Gibbs sweep over all colors.  ``info`` is static
     (CompileInfo is hashable)."""
-    C = dg.cs_mv.shape[0]
+    C = dg.cs_mask.shape[0]
 
     def body(c, vals):
         ck = jax.random.fold_in(key, c)

@@ -70,13 +70,15 @@ def infer_sharded(dg, weights, key, n_burn: int, n_sweeps: int, info,
     return marg, values
 
 
-def learn_step_sharded(dg, weights, v_ev, v_free, key, alpha, cfg, info,
-                       mesh: Mesh):
-    """One data-parallel learning step (jit-able under shard_map).
+from functools import lru_cache
 
-    v_ev/v_free: [P, NC_local] per device (sharded on chain axis).
-    Gradients are pmean'd across the ``chains`` axis each step.
-    """
+
+@lru_cache(maxsize=64)
+def _learn_step_fn(cfg, info, mesh: Mesh):
+    """Build (and cache) the jitted data-parallel learning step.
+
+    Cached on (cfg, info, mesh) so a Python epoch loop reuses one compiled
+    executable instead of re-tracing the shard_map every call."""
 
     @partial(
         jax.shard_map, mesh=mesh,
@@ -97,8 +99,19 @@ def learn_step_sharded(dg, weights, v_ev, v_free, key, alpha, cfg, info,
                          cfg.reg_param)
         return w, v_ev, v_free
 
+    return jax.jit(step)
+
+
+def learn_step_sharded(dg, weights, v_ev, v_free, key, alpha, cfg, info,
+                       mesh: Mesh):
+    """One data-parallel learning step (compiled once per (cfg, info, mesh)).
+
+    v_ev/v_free: [P, NC_local] per device (sharded on chain axis).
+    Gradients are pmean'd across the ``chains`` axis each step.
+    """
     n_dev = mesh.devices.size
     keys = jax.random.split(key, n_dev)
+    step = _learn_step_fn(cfg, info, mesh)
     return step(dg, weights, v_ev, v_free, keys, alpha)
 
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..engine.multichain import color_logits_mc, init_values_mc
+from ..engine.multichain import color_draw_mc, init_values_mc
 
 
 def make_mesh(n_chains: int, n_graph: int, devices=None) -> Mesh:
@@ -39,7 +39,7 @@ def _sharded_color_step(dg_l, values, weights, key, c, sample_evidence, info,
                         n_graph: int):
     """One color step where this device owns rows [g*Bl, (g+1)*Bl) of the
     block (dg_l holds the LOCAL stream slice; values are full [P, NC])."""
-    Bl = dg_l.cs_mv.shape[1]          # local block rows
+    Bl = dg_l.cs_mask.shape[1]        # local block rows
     B = Bl * n_graph
     g = jax.lax.axis_index("graph")
     NC = values.shape[1]
@@ -47,10 +47,7 @@ def _sharded_color_step(dg_l, values, weights, key, c, sample_evidence, info,
     # cs_ismine is streamed, so the logits need no positional info; the key
     # MUST differ per graph shard or the block draw would reuse noise
     key = jax.random.fold_in(key, g)
-    logits = color_logits_mc(dg_l, values, weights, c, info)
-    masked = logits + dg_l.cm_kmask[c][:, :, None]
-    gm = jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
-    drawn = jnp.argmax(masked + gm, axis=1).astype(values.dtype)
+    drawn = color_draw_mc(dg_l, values, weights, key, c, info)
 
     resample = (dg_l.cm_resample_ev[c] if sample_evidence
                 else dg_l.cm_resample[c])
@@ -65,7 +62,7 @@ def _sharded_color_step(dg_l, values, weights, key, c, sample_evidence, info,
 
 def sweep_gs(dg_l, values, weights, key, sample_evidence: bool, info,
              n_graph: int):
-    C = dg_l.cs_mv.shape[0]
+    C = dg_l.cs_mask.shape[0]
 
     def body(c, vals):
         ck = jax.random.fold_in(key, c)
@@ -105,7 +102,7 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
     """
     n_chains_ax = mesh.shape["chains"]
     n_graph = mesh.shape["graph"]
-    B = dg.cs_mv.shape[1]
+    B = dg.cs_mask.shape[1]
     if B % n_graph:
         raise ValueError(
             f"block size {B} not divisible by graph axis {n_graph}; "
