@@ -80,6 +80,9 @@ class DeviceGraph(NamedTuple):
     cs_arity: np.ndarray   # int32 [C, B, D]
     cs_wid: np.ndarray     # int32 [C, B, D]
     cs_feat: np.ndarray    # float32 [C, B, D] (pad → 0)
+    # banded-gather plan (ops/banded.py): per-tile window starts; [C, 1]
+    # zeros when banding is off (CompileInfo.band_w == 0)
+    bd_start: np.ndarray   # int32 [C, ntiles]
     # per-position variable metadata ------------------------------- [P]
     var_card: np.ndarray  # int32 (pads/dummy → 1)
     var_role: np.ndarray  # int32 (pads/dummy → ROLE_EVIDENCE)
@@ -112,11 +115,20 @@ class CompileInfo:
     block_size: int
     present_funcs: tuple = ()   # sorted factor-function ids in this graph
     all_boolean: bool = False   # no categorical vars and all eqpred == 1
+    band_w: int = 0             # banded-gather window width (0 = disabled)
+    band_tb: int = 0            # banded-gather tile size (variables/tile)
 
 
 def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
-                  align: int = 8) -> tuple[DeviceGraph, CompileInfo]:
-    """Build the padded color-major device layout."""
+                  align: int = 8, band_tile: int = 128,
+                  band_wmax: int = 8192,
+                  band_min_block: int = 4096) -> tuple[DeviceGraph,
+                                                       CompileInfo]:
+    """Build the padded color-major device layout.
+
+    band_*: parameters of the banded (MXU one-hot matmul) gather plan — see
+    ops/banded.py.  Blocks smaller than ``band_min_block`` skip banding (the
+    plain gather is fine there and the tile padding would dominate)."""
     graph.validate()
     V, F, E = graph.n_vars, graph.n_factors, graph.n_edges
     arity = graph.arities().astype(np.int64)
@@ -128,6 +140,9 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
     C = int(colors.max()) + 1 if V else 1
     counts = np.bincount(colors, minlength=C)
     B = _round_up(int(counts.max()), align)
+    try_band = band_tile > 0 and B >= band_min_block
+    if try_band:
+        B = _round_up(B, band_tile)
     P = C * B + 1                      # +1 global dummy tail
     DUMMY = C * B
 
@@ -217,12 +232,21 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
     cs_wid = f_wid[fi]
     cs_feat = f_feat[fi]
 
+    # --- banded-gather window plan --------------------------------------
+    from .ops.banded import plan_banding
+
+    bd_start, band_w = (plan_banding(cs_nbr, P, band_tile, band_wmax)
+                        if try_band else (None, 0))
+    if bd_start is None:
+        bd_start, band_w = np.zeros((C, 1), np.int32), 0
+
     dg = DeviceGraph(
         f_vids=f_vids, f_ispos=f_ispos, f_eqpred=f_eqpred, f_mask=f_mask,
         f_type=f_type, f_wid=f_wid, f_feat=f_feat, f_arity=f_arity,
         cs_nbr=cs_nbr, cs_ismine=cs_ismine, cs_hmask=cs_hmask,
         cs_pos=cs_pos, cs_eq=cs_eq, cs_mask=cs_mask,
         cs_type=cs_type, cs_arity=cs_arity, cs_wid=cs_wid, cs_feat=cs_feat,
+        bd_start=bd_start,
         var_card=var_card, var_role=var_role, var_init=var_init,
         cm_card=cm_card, cm_role=cm_role,
         cm_kmask=cm_kmask, cm_resample=cm_resample,
@@ -239,6 +263,7 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
         block_size=B,
         present_funcs=tuple(sorted(int(t) for t in np.unique(graph.f_type))),
         all_boolean=all_boolean,
+        band_w=band_w, band_tb=band_tile if band_w else 0,
     )
     return dg, info
 

@@ -132,10 +132,19 @@ def _nbr_lits(dg, values, c, info):
     eq = None if info.all_boolean else dg.cs_eq[c]
     dt = values.dtype
     A1 = nbr.shape[-1]
+    NC = values.shape[-1]
     if A1 == 0:                       # unary-only graph: nothing to gather
-        NC = values.shape[-1]
         return jnp.zeros(nbr.shape + (NC,), bool), pos, eq
-    vals = values[nbr]                # [B, D, A-1, NC]  row gather
+    from ..ops.banded import band_enabled, banded_gather
+    if band_enabled(info):
+        # MXU path: gather as banded one-hot matmul (ops/banded.py)
+        B, D = nbr.shape[0], nbr.shape[1]
+        ntiles = B // info.band_tb
+        nbr2 = nbr.reshape(ntiles, info.band_tb * D * A1)
+        vals = banded_gather(values, nbr2, dg.bd_start[c], info.band_w)
+        vals = vals.reshape(B, D, A1, NC)
+    else:
+        vals = values[nbr]            # [B, D, A-1, NC]  row gather
     if eq is None:
         nbr_lit = (vals == jnp.asarray(1, dt)) == pos[..., :A1, None]
     else:

@@ -1,0 +1,205 @@
+"""Banded one-hot-matmul gather: the MXU replacement for the sweep's gather.
+
+The values-row gather is TPU *issue-rate* bound (~11-19 ns per row no matter
+how wide the row), which caps a gather-based sweep at ~90M rows/s.  But most
+factor graphs have *locality*: after the color-major layout (and, for
+irregular graphs, a bandwidth-minimizing ordering), the neighbor positions
+referenced by any contiguous tile of TB variables fall inside a window of W
+consecutive positions.  Then
+
+    gathered[r, :] = values[idx[r], :]
+                   = onehot(idx[r] - start)  @  values[start : start+W, :]
+
+i.e. the gather of a whole tile is ONE [R, W] x [W, NC] matrix multiply of a
+branchlessly-built one-hot matrix against a contiguous window slice — and
+matmuls are what the MXU does at speed-of-light.  Out-of-window indices
+(padding / the dummy slot) produce an all-zero one-hot row, which reproduces
+the dummy row's value (0) exactly.
+
+This file has three layers:
+  * plan_banding   — compile-time (numpy) window analysis per color tile;
+  * banded_gather_pallas — the fused Pallas TPU kernel (window DMA from HBM,
+    one-hot build in VMEM, MXU dot);
+  * banded_gather_xla — a pure-XLA scan fallback (also the CPU reference).
+
+Reference behavior being replaced: the CSR neighbor gather inside the Gibbs
+inner loop (ref: src/gibbs_sampler.cc sample_single_variable — recalled,
+SURVEY.md §3.2); the banding itself has no reference analog — it is the
+TPU-native formulation.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+
+LANE = 128          # TPU lane width: W is padded to a multiple of this
+START_ALIGN = 256   # window starts rounded down for clean DMA alignment
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def plan_banding(cs_nbr: np.ndarray, P: int, tb: int, w_max: int = 8192):
+    """Window analysis.  cs_nbr: int32 [C, B, D, A1] neighbor positions with
+    out-of-graph slots pointing at the dummy position P-1.
+
+    Returns (starts [C, ntiles] int32, W int) or (None, 0) when banding is
+    not applicable (unary graph, tile misalignment, or spread > w_max).
+    """
+    C, B, D, A1 = cs_nbr.shape
+    if A1 == 0 or B % tb != 0 or P < LANE:
+        return None, 0
+    ntiles = B // tb
+    idx = cs_nbr.reshape(C, ntiles, tb * D * A1).astype(np.int64)
+    real = idx != (P - 1)                      # dummy slot = P-1
+    lo = np.where(real, idx, P).min(axis=-1)   # [C, ntiles]
+    hi = np.where(real, idx, -1).max(axis=-1)
+    lo = np.minimum(lo, np.maximum(hi, 0))     # empty tile -> lo = 0
+    starts = (lo // START_ALIGN) * START_ALIGN
+    spread = int(np.maximum(hi - starts + 1, 1).max())
+    W = _round_up(spread, LANE)
+    if W > min(w_max, P):
+        return None, 0
+    starts = np.minimum(starts, P - W)         # keep window inside [0, P)
+    starts = np.maximum(starts, 0)
+    assert int((np.where(real, idx, starts[..., None])
+                - starts[..., None]).max()) < W
+    return starts.astype(np.int32), W
+
+
+def band_mode() -> str:
+    """'auto' | 'pallas' | 'xla' | 'interpret' | 'off'
+    (env SAMPLER_TPU_BAND overrides)."""
+    return os.environ.get("SAMPLER_TPU_BAND", "auto").lower()
+
+
+def band_enabled(info, backend: str | None = None) -> bool:
+    """Should the sweep use the banded gather on the current backend?"""
+    if getattr(info, "band_w", 0) <= 0 or info.max_card > 127:
+        return False
+    mode = band_mode()
+    if mode == "off":
+        return False
+    if mode in ("pallas", "xla", "interpret"):
+        return True
+    import jax
+
+    backend = backend or jax.default_backend()
+    return backend in ("tpu", "axon")          # auto: TPU-class only
+
+
+# --------------------------------------------------------------------------
+# Pallas TPU kernel
+# --------------------------------------------------------------------------
+
+def _band_kernel(starts_ref, nbr_ref, values_ref, out_ref, win_ref, sem,
+                 *, W: int, R: int, out_dtype):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = pl.program_id(0)
+    # plan_banding aligns every window start to START_ALIGN; the hint lets
+    # Mosaic prove the HBM slice lands on a sublane-tile boundary
+    start = pl.multiple_of(starts_ref[t], 256)
+    copy = pltpu.make_async_copy(
+        values_ref.at[pl.ds(start, W), :], win_ref, sem)
+    copy.start()
+    il = nbr_ref[0] - start                            # [1, R] local indices
+    # one-hot built TRANSPOSED [W, R]: the [1, R] row broadcasts along the
+    # window axis for free (no cross-lane reshape), and the MXU contracts
+    # dim 0 of both operands directly.  Built while the window DMA is in
+    # flight — it depends only on the index stream.
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
+    oh_t = (il == iota_w).astype(jnp.int8)             # [W, R]
+    copy.wait()
+    # int8 x int8 -> int32 runs the MXU at 2x its bf16 rate; values are
+    # small ints (card <= 127) so the product is exact
+    acc = jax.lax.dot_general(
+        oh_t, win_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)              # [R, NC]
+    out_ref[:] = acc.astype(out_dtype)
+
+
+def banded_gather_pallas(values, nbr, starts, W: int, interpret: bool = False):
+    """values [P, NC]; nbr int32 [ntiles, R] (global positions);
+    starts int32 [ntiles].  Returns [ntiles * R, NC] values.dtype."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ntiles, R = nbr.shape
+    P, NC = values.shape
+    kern = partial(_band_kernel, W=W, R=R, out_dtype=values.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, R), lambda t, s: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),         # values stay in HBM
+        ],
+        out_specs=pl.BlockSpec((R, NC), lambda t, s: (t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((W, NC), values.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    flops = 2 * ntiles * R * W * NC
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ntiles * R, NC), values.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=0,
+            bytes_accessed=int(ntiles * (R * 4 + W * NC + R * NC))),
+        interpret=interpret,
+    )(starts, nbr.reshape(ntiles, 1, R), values)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Pure-XLA fallback (scan over tile batches) — also the CPU reference
+# --------------------------------------------------------------------------
+
+def banded_gather_xla(values, nbr, starts, W: int, tile_batch: int = 16):
+    import jax
+    import jax.numpy as jnp
+
+    ntiles, R = nbr.shape
+    P, NC = values.shape
+    tb = min(tile_batch, ntiles)
+    while ntiles % tb:
+        tb -= 1
+    nbr_b = nbr.reshape(ntiles // tb, tb, R)
+    starts_b = starts.reshape(ntiles // tb, tb)
+    iota_w = jnp.arange(W, dtype=jnp.int32)
+
+    def body(_, args):
+        nb, st = args                                   # [tb, R], [tb]
+        win = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(values, (s, 0), (W, NC)))(st)
+        il = nb - st[:, None]
+        oh = (il[:, :, None] == iota_w[None, None, :]).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            oh, win.astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)         # [tb, R, NC]
+        return None, acc.astype(values.dtype)
+
+    _, outs = jax.lax.scan(body, None, (nbr_b, starts_b))
+    return outs.reshape(ntiles * R, NC)
+
+
+def banded_gather(values, nbr, starts, W: int):
+    """Dispatch on SAMPLER_TPU_BAND: auto→pallas on TPU-class backends."""
+    mode = band_mode()
+    if mode == "xla":
+        return banded_gather_xla(values, nbr, starts, W)
+    if mode == "interpret":
+        return banded_gather_pallas(values, nbr, starts, W, interpret=True)
+    return banded_gather_pallas(values, nbr, starts, W)

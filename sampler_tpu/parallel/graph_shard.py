@@ -77,9 +77,11 @@ def shard_device_graph(dg, mesh: Mesh):
     B axis, everything else replicated."""
     specs = {}
     for name in dg._fields:
-        if name.startswith("cs_"):
-            specs[name] = P(None, "graph")
-        elif name.startswith("cm_"):
+        if name.startswith(("cs_", "cm_")) or (
+                name.startswith("bd_") and getattr(dg, name).shape[1] > 1):
+            # axis 1 is B (streams) or ntiles (banding plan) — both are
+            # contiguous slices of the color block, so they co-shard
+            # (a disabled [C, 1] banding plan stays replicated)
             specs[name] = P(None, "graph")
         else:
             specs[name] = P()
@@ -108,7 +110,10 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
             f"block size {B} not divisible by graph axis {n_graph}; "
             f"compile with align=8*{n_graph}")
 
-    cs_spec = {n: (P(None, "graph") if n.startswith(("cs_", "cm_")) else P())
+    cs_spec = {n: (P(None, "graph")
+                   if n.startswith(("cs_", "cm_"))
+                   or (n.startswith("bd_") and getattr(dg, n).shape[1] > 1)
+                   else P())
                for n in dg._fields}
     dg_spec = type(dg)(*(cs_spec[n] for n in dg._fields))
 
