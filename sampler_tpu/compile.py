@@ -83,6 +83,11 @@ class DeviceGraph(NamedTuple):
     # banded-gather plan (ops/banded.py): per-tile window starts; [C, 1]
     # zeros when banding is off (CompileInfo.band_w == 0)
     bd_start: np.ndarray   # int32 [C, ntiles]
+    # fused affine color step (ops/fused.py; CompileInfo.affine2):
+    bd_nbr: np.ndarray     # int32 [C, ntiles, 1, D*TB] neighbor positions,
+                           #       d-major within tile ([C,1,1,1] when off)
+    ab_a: np.ndarray       # f32 [C, B, D] delta-phi intercept ([C,1,1] off)
+    ab_b: np.ndarray       # f32 [C, B, D] delta-phi slope in neighbor value
     # per-position variable metadata ------------------------------- [P]
     var_card: np.ndarray  # int32 (pads/dummy → 1)
     var_role: np.ndarray  # int32 (pads/dummy → ROLE_EVIDENCE)
@@ -117,6 +122,8 @@ class CompileInfo:
     all_boolean: bool = False   # no categorical vars and all eqpred == 1
     band_w: int = 0             # banded-gather window width (0 = disabled)
     band_tb: int = 0            # banded-gather tile size (variables/tile)
+    affine2: bool = False       # fused affine color step available
+                                # (all-boolean, arity <= 2, banded)
 
 
 def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
@@ -240,13 +247,31 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
     if bd_start is None:
         bd_start, band_w = np.zeros((C, 1), np.int32), 0
 
+    # --- fused affine color-step coefficients (ops/fused.py) ------------
+    all_boolean = bool((graph.var_dtype == fs.DTYPE_BOOLEAN).all()
+                       and (graph.e_eqpred == 1).all())
+    affine2 = bool(band_w > 0 and all_boolean and A == 2)
+    if affine2:
+        from .ops.fused import affine_pairwise
+
+        ab_a, ab_b = affine_pairwise(cs_pos, cs_mask, cs_ismine, cs_hmask,
+                                     cs_type)
+        ntiles = bd_start.shape[1]
+        TB = B // ntiles
+        bd_nbr = (cs_nbr[..., 0].reshape(C, ntiles, TB, D)
+                  .transpose(0, 1, 3, 2).reshape(C, ntiles, 1, D * TB)
+                  .copy())
+    else:
+        ab_a = ab_b = np.zeros((C, 1, 1), np.float32)
+        bd_nbr = np.zeros((C, 1, 1, 1), np.int32)
+
     dg = DeviceGraph(
         f_vids=f_vids, f_ispos=f_ispos, f_eqpred=f_eqpred, f_mask=f_mask,
         f_type=f_type, f_wid=f_wid, f_feat=f_feat, f_arity=f_arity,
         cs_nbr=cs_nbr, cs_ismine=cs_ismine, cs_hmask=cs_hmask,
         cs_pos=cs_pos, cs_eq=cs_eq, cs_mask=cs_mask,
         cs_type=cs_type, cs_arity=cs_arity, cs_wid=cs_wid, cs_feat=cs_feat,
-        bd_start=bd_start,
+        bd_start=bd_start, bd_nbr=bd_nbr, ab_a=ab_a, ab_b=ab_b,
         var_card=var_card, var_role=var_role, var_init=var_init,
         cm_card=cm_card, cm_role=cm_role,
         cm_kmask=cm_kmask, cm_resample=cm_resample,
@@ -255,8 +280,6 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
         w_init=graph.w_init.astype(np.float32),
         w_fixed=graph.w_fixed.astype(bool),
     )
-    all_boolean = bool((graph.var_dtype == fs.DTYPE_BOOLEAN).all()
-                       and (graph.e_eqpred == 1).all())
     info = CompileInfo(
         n_vars=V, n_factors=F, n_weights=graph.n_weights, n_colors=C,
         max_arity=A, max_degree=D, max_card=int(graph.var_card.max()),
@@ -264,6 +287,7 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
         present_funcs=tuple(sorted(int(t) for t in np.unique(graph.f_type))),
         all_boolean=all_boolean,
         band_w=band_w, band_tb=band_tile if band_w else 0,
+        affine2=affine2,
     )
     return dg, info
 

@@ -233,8 +233,34 @@ def color_delta_bool(dg, values, weights, c, info):
     return jnp.sum(wf * (phi1 - phi0), axis=1)                # [B, NC]
 
 
-def color_draw_mc(dg, values, weights, key, c, info):
+def prepare_fold(dg, weights, info):
+    """Per-weights prep for the fused affine color step (ops/fused.py).
+
+    Returns (beta, base) streams or None when the fused path is not
+    applicable.  Called OUTSIDE the sweep loops — the fold includes a
+    weights gather that must be amortized over many sweeps."""
+    from ..ops.fused import fold_affine, fused_enabled
+
+    if not fused_enabled(info):
+        return None
+    return fold_affine(dg, jnp.asarray(weights, jnp.float32), info)
+
+
+def color_draw_mc(dg, values, weights, key, c, info, folded=None):
     """Draw new candidate values [B, NC] for color ``c`` (no write-back)."""
+    if folded is not None:
+        import os
+
+        from ..ops.fused import fused_color_draw
+
+        interp = os.environ.get("SAMPLER_TPU_FUSED",
+                                "auto").lower() == "interpret"
+        seed = jax.lax.bitcast_convert_type(key, jnp.int32).reshape(-1)[:2]
+        D = dg.cs_mask.shape[2]
+        return fused_color_draw(values, dg.bd_nbr[c], dg.bd_start[c],
+                                folded[0][c], folded[1][c], seed,
+                                info.band_w, info.band_tb, D,
+                                interpret=interp)
     if info.all_boolean and info.max_card == 2:
         delta = color_delta_bool(dg, values, weights, c, info)
         u = jax.random.uniform(key, delta.shape, dtype=delta.dtype)
@@ -245,11 +271,12 @@ def color_draw_mc(dg, values, weights, key, c, info):
     return jnp.argmax(masked + g, axis=1).astype(values.dtype)
 
 
-def color_step_mc(dg, values, weights, key, c, sample_evidence: bool, info):
+def color_step_mc(dg, values, weights, key, c, sample_evidence: bool, info,
+                  folded=None):
     """Resample color ``c`` in all chains; returns updated values [P, NC]."""
     B = dg.cs_mask.shape[1]
     NC = values.shape[1]
-    drawn = color_draw_mc(dg, values, weights, key, c, info)      # [B, NC]
+    drawn = color_draw_mc(dg, values, weights, key, c, info, folded)
 
     resample = dg.cm_resample_ev[c] if sample_evidence else dg.cm_resample[c]
     old = jax.lax.dynamic_slice(values, (c * B, 0), (B, NC))
@@ -257,12 +284,14 @@ def color_step_mc(dg, values, weights, key, c, sample_evidence: bool, info):
     return jax.lax.dynamic_update_slice(values, new, (c * B, 0))
 
 
-def sweep_mc(dg, values, weights, key, sample_evidence: bool, info):
+def sweep_mc(dg, values, weights, key, sample_evidence: bool, info,
+             folded=None):
     C = dg.cs_mask.shape[0]
 
     def body(c, vals):
         ck = jax.random.fold_in(key, c)
-        return color_step_mc(dg, vals, weights, ck, c, sample_evidence, info)
+        return color_step_mc(dg, vals, weights, ck, c, sample_evidence, info,
+                             folded)
 
     return jax.lax.fori_loop(0, C, body, values, unroll=(C <= 4))
 
@@ -270,9 +299,12 @@ def sweep_mc(dg, values, weights, key, sample_evidence: bool, info):
 @partial(jax.jit, static_argnames=("n_sweeps", "sample_evidence", "info"))
 def run_sweeps_mc(dg, values, weights, key, n_sweeps: int,
                   sample_evidence: bool, info):
+    folded = prepare_fold(dg, weights, info)
+
     def body(vals, i):
         k = jax.random.fold_in(key, i)
-        return sweep_mc(dg, vals, weights, k, sample_evidence, info), None
+        return sweep_mc(dg, vals, weights, k, sample_evidence, info,
+                        folded), None
 
     return jax.lax.scan(body, values, jnp.arange(n_sweeps))[0]
 
@@ -287,11 +319,12 @@ def run_inference_mc(dg, values, weights, key, n_sweeps: int,
     # under shard_map (plain zeros would be 'unvarying' and break scan)
     counts0 = jnp.tile(values[:, :1].astype(jnp.int32) * 0, (1, K))
     ks = jnp.arange(K, dtype=jnp.int32)
+    folded = prepare_fold(dg, weights, info)
 
     def body(carry, i):
         vals, counts = carry
         k = jax.random.fold_in(key, i)
-        vals = sweep_mc(dg, vals, weights, k, sample_evidence, info)
+        vals = sweep_mc(dg, vals, weights, k, sample_evidence, info, folded)
         onehot = (vals.astype(jnp.int32)[:, None, :] == ks[None, :, None])
         counts = counts + jnp.sum(onehot, axis=-1, dtype=jnp.int32)
         return (vals, counts), None
@@ -339,14 +372,15 @@ def learn_mc(dg, weights, key, cfg, info, n_chains: int):
     def epoch(carry, i):
         w, v_ev, v_free, alpha = carry
         ki = jax.random.fold_in(kscan, i)
+        folded = prepare_fold(dg, w, info)   # refold: w changes per epoch
 
         def one_sweep(c, j):
             v_ev, v_free = c
             kj = jax.random.fold_in(ki, j)
             v_ev = sweep_mc(dg, v_ev, w, jax.random.fold_in(kj, 0),
-                            False, info)
+                            False, info, folded)
             v_free = sweep_mc(dg, v_free, w, jax.random.fold_in(kj, 1),
-                              True, info)
+                              True, info, folded)
             return (v_ev, v_free), None
 
         (v_ev, v_free), _ = jax.lax.scan(

@@ -1,0 +1,222 @@
+"""Fused affine color step: one Pallas kernel per color for pairwise
+boolean graphs — the flagship fast path.
+
+For an all-boolean graph whose factors have arity <= 2, the conditional
+log-odds of variable b is AFFINE in its gathered neighbor values:
+
+    delta[b] = logit(v_b=1) - logit(v_b=0)
+             = sum_d wf[b,d] * (dphi_a[b,d] + dphi_b[b,d] * v[nbr[b,d]])
+             = base[b] + sum_d beta[b,d] * v[nbr[b,d]]
+
+where dphi_a = phi(1,v=0)-phi(0,v=0) and dphi_b its v-slope are COMPILE-TIME
+constants per incidence record (any boolean function of one binary neighbor
+value is affine in it), and wf = weights[wid]*feature folds in whenever the
+weights change.  Combined with the banded window plan (ops/banded.py), the
+ENTIRE color step becomes, per tile of TB variables:
+
+    M[w, b]   = sum_d beta[b,d] * onehot(nbr[b,d] - start)[w]   (VPU build)
+    delta     = M^T @ values[start:start+W, :] + base           (MXU)
+    new_vals  = uniform() < sigmoid(delta)                      (VPU + HW RNG)
+
+— one window DMA, one matmul, and a draw from the on-core PRNG, with no
+intermediate ever touching HBM.  This is the TPU-native answer to the
+reference's entire sample_single_variable inner loop (ref:
+src/gibbs_sampler.cc — recalled; SURVEY.md §3.2) for the pairwise-boolean
+workloads that dominate KBC graphs.
+
+Distribution-exact: M is built in f32 (or error-free split bf16x2), and
+uniform-vs-sigmoid is the same Bernoulli draw as the unfused delta path —
+only the RNG stream differs (per-core hardware PRNG seeded per
+(sweep, color, tile)).
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+
+from .. import format_spec as fs
+from .banded import band_enabled
+
+
+# --------------------------------------------------------------------------
+# compile-time affine analysis (numpy)
+# --------------------------------------------------------------------------
+
+def _phi_np(nlit, head, n, ftype):
+    """Vectorized numpy twin of engine._phi_from_counts (float64)."""
+    nbody = nlit - head.astype(np.int64)
+    n_body = np.maximum(n - 1, 0)
+    lin = np.where(head, n_body, n_body - nbody).astype(np.float64)
+    lin = np.where(n == 1, head.astype(np.float64), lin)
+    variants = [
+        (fs.FUNC_AND, (nlit == n)), (fs.FUNC_AND_CATEGORICAL, (nlit == n)),
+        (fs.FUNC_IMPLY_NATURAL, (nlit == n)),
+        (fs.FUNC_OR, (nlit > 0)),
+        (fs.FUNC_EQUAL, (nlit == 0) | (nlit == n)),
+        (fs.FUNC_ISTRUE, head),
+        (fs.FUNC_IMPLY_MLN, np.where(nbody < n_body, 1.0, head)),
+        (fs.FUNC_LINEAR, lin),
+        (fs.FUNC_RATIO, np.log1p(lin)),
+        (fs.FUNC_LOGICAL, lin > 0),
+    ]
+    out = np.zeros(np.shape(nlit), np.float64)
+    for t, v in variants:
+        out = np.where(ftype == t, v, out)
+    return out
+
+
+def affine_pairwise(cs_pos, cs_mask, cs_ismine, cs_hmask, cs_type):
+    """Per-incidence affine coefficients (a, b) of delta-phi in the single
+    neighbor value v:  phi(own=1, v) - phi(own=0, v) = a + b*v.
+
+    All inputs [C, B, D, A] with A <= 2 (own-last slot permutation).
+    Returns float32 (a, b) of shape [C, B, D].  Handles n_own == arity
+    (repeated-variable / unary factors: b == 0) and padded records
+    (mask all-False: a == b == 0 since every phi is constant there).
+    """
+
+    def phi(k, v):
+        val = np.where(cs_ismine, k, v)
+        lits = ((val == 1) == cs_pos) & cs_mask
+        nlit = lits.sum(-1)
+        n = cs_mask.sum(-1)
+        head = (lits & cs_hmask).any(-1)
+        return _phi_np(nlit, head, n, cs_type)
+
+    d0 = phi(1, 0) - phi(0, 0)
+    d1 = phi(1, 1) - phi(0, 1)
+    return d0.astype(np.float32), (d1 - d0).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# runtime weight fold (XLA, jit-able; once per weights value)
+# --------------------------------------------------------------------------
+
+def fold_affine(dg, weights, info):
+    """(beta [C, ntiles, 1, D*TB] d-major, base [C, ntiles, TB, 1])."""
+    import jax.numpy as jnp
+
+    wf = weights[dg.cs_wid] * dg.cs_feat               # [C, B, D]
+    beta = wf * dg.ab_b
+    base = jnp.sum(wf * dg.ab_a, axis=-1)              # [C, B]
+    C, B, D = wf.shape
+    TB = info.band_tb
+    nt = B // TB
+    beta = beta.reshape(C, nt, TB, D).transpose(0, 1, 3, 2) \
+               .reshape(C, nt, 1, D * TB)
+    base = base.reshape(C, nt, TB, 1)
+    return beta, base
+
+
+def fused_enabled(info) -> bool:
+    """Static gate: affine-pairwise fused kernel usable here?"""
+    if not getattr(info, "affine2", False):
+        return False
+    mode = os.environ.get("SAMPLER_TPU_FUSED", "auto").lower()
+    if mode == "off":
+        return False
+    if mode == "interpret":
+        return True
+    return band_enabled(info)
+
+
+# --------------------------------------------------------------------------
+# the kernel
+# --------------------------------------------------------------------------
+
+def _fused_kernel(starts_ref, seed_ref, nbr_ref, beta_ref, base_ref,
+                  values_ref, out_ref, win_ref, sem,
+                  *, W: int, TB: int, D: int, split_bf16: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = pl.program_id(0)
+    start = pl.multiple_of(starts_ref[t], 256)
+    copy = pltpu.make_async_copy(
+        values_ref.at[pl.ds(start, W), :], win_ref, sem)
+    copy.start()
+    # max 2 seed words: mix the tile id into the second (Knuth multiplier)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ (t * 2654435761))
+
+    R = D * TB
+    il = nbr_ref[0] - start                            # [1, R] d-major
+    iota = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
+    moh = jnp.where(il == iota, beta_ref[0], 0.0)      # β-scaled one-hot
+    # reduce the D slot planes: columns are d-major, so each plane is a
+    # whole-register slice [W, TB]
+    M = moh[:, :TB]
+    for d in range(1, D):                              # static unroll
+        M = M + moh[:, d * TB:(d + 1) * TB]
+
+    copy.wait()
+    if split_bf16:
+        # error-free two-term split: bf16 MXU at 2x the f32 rate, f32 acc
+        wv = win_ref[:].astype(jnp.bfloat16)           # values exact in bf16
+        m_hi = M.astype(jnp.bfloat16)
+        m_lo = (M - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((0,), (0,)), ((), ()))
+        delta = (jax.lax.dot_general(m_hi, wv, dn,
+                                     preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(m_lo, wv, dn,
+                                       preferred_element_type=jnp.float32))
+    else:
+        wv = win_ref[:].astype(jnp.float32)
+        delta = jax.lax.dot_general(
+            M, wv, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [TB, NC]
+    delta = delta + base_ref[0]                        # [TB, 1] broadcast
+
+    bits = pltpu.prng_random_bits(delta.shape)
+    u = (bits >> 8).astype(jnp.float32) * jnp.float32(2.0 ** -24) \
+        + jnp.float32(2.0 ** -25)
+    out_ref[:] = (u < jax.nn.sigmoid(delta)).astype(out_ref.dtype)
+
+
+def fused_color_draw(values, nbr_dmaj, starts, beta, base, seed,
+                     W: int, TB: int, D: int,
+                     interpret: bool = False, split_bf16: bool = True):
+    """Run the fused color step.
+
+    values [P, NC] int8;  nbr_dmaj [ntiles, 1, D*TB] int32 (global
+    positions, d-major within tile);  starts [ntiles] int32;
+    beta [ntiles, 1, D*TB] f32;  base [ntiles, TB, 1] f32;
+    seed int32[2].  Returns drawn values [ntiles*TB, NC] int8.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ntiles = nbr_dmaj.shape[0]
+    R = D * TB
+    P, NC = values.shape
+    kern = partial(_fused_kernel, W=W, TB=TB, D=D, split_bf16=split_bf16)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # nbr
+            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # beta
+            pl.BlockSpec((1, TB, 1), lambda t, s, z: (t, 0, 0)),  # base
+            pl.BlockSpec(memory_space=pl.ANY),                    # values
+        ],
+        out_specs=pl.BlockSpec((TB, NC), lambda t, s, z: (t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((W, NC), values.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ntiles * TB, NC), values.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ntiles * TB * W * NC * (2 if split_bf16 else 1),
+            transcendentals=ntiles * TB * NC,
+            bytes_accessed=int(ntiles * (R * 8 + W * NC + TB * NC))),
+        interpret=interpret,
+    )(starts, seed, nbr_dmaj, beta, base, values)

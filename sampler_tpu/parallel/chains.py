@@ -87,9 +87,12 @@ def _learn_step_fn(cfg, info, mesh: Mesh):
         out_specs=(P(), P(None, "chains"), P(None, "chains")),
     )
     def step(dg_l, w, v_ev, v_free, keys, alpha):
+        from ..engine.multichain import prepare_fold
+
         ke, kf = jax.random.split(keys[0])
-        v_ev = sweep_mc(dg_l, v_ev, w, ke, False, info)
-        v_free = sweep_mc(dg_l, v_free, w, kf, True, info)
+        folded = prepare_fold(dg_l, w, info)
+        v_ev = sweep_mc(dg_l, v_ev, w, ke, False, info, folded)
+        v_free = sweep_mc(dg_l, v_free, w, kf, True, info, folded)
         # gradient pooled over local chains, then over devices
         from ..engine.multichain import mc_weight_gradient
         grad = mc_weight_gradient(dg_l, v_ev, v_free,
