@@ -1,15 +1,23 @@
 #!/usr/bin/env python
-"""Headline benchmark: Gibbs variable updates/s on one chip.
+"""Headline benchmark: the SHIPPED inference and learning paths on one chip.
 
 Prints ONE JSON line:
   {"metric": "variable_updates_per_s", "value": N, "unit": "updates/s",
-   "vs_baseline": N / 1e9}
+   "vs_baseline": N / 1e9, "learning_sweeps_per_s": N,
+   "learning_updates_per_s": N, "modes": [band, fused]}
 
 Baseline denominator: the DimmWitted-class claim of ~1e9 variable updates/s
 per (multi-socket CPU) host (BASELINE.md — folklore figure; no published
-number was recoverable).  Workload: boolean Ising grid, multi-chain
-chromatic sweeps, counted as variables resampled per wall-clock second
-across chains after compile.
+number was recoverable).
+
+Both metrics run the code users run (VERDICT.md round-1 weak #2):
+  * inference — run_inference_mc: prepare_fold engaged (fused affine Pallas
+    kernel on the benchmark-shaped graph), banded gather, per-sweep marginal
+    tallies accumulated on device;
+  * learning — learn_mc on an evidence-labelled copy of the same graph:
+    evidence+free world sweeps, gradient segment-sum, SGD update, per-epoch
+    fold refresh.  Reported as weight-learning sweeps/s (BASELINE.json
+    metric) where one sweep resamples BOTH worlds.
 
 Timing protocol (axon backend): `block_until_ready` does NOT actually
 synchronize on this PJRT plugin, so the run is a long chain of dependent
@@ -32,52 +40,106 @@ def hsync(x):
     return np.asarray(jax.device_get(x.ravel()[-1]))
 
 
+def bench_inference(dgj, info, modes, n_chains, inner, outer):
+    from sampler_tpu.engine.multichain import (init_values_mc,
+                                               run_inference_mc)
+
+    vals = init_values_mc(dgj, jax.random.PRNGKey(0), n_chains, info)
+    key = jax.random.PRNGKey(1)
+
+    t0 = time.time()
+    vals, counts = run_inference_mc(dgj, vals, dgj.w_init, key, inner,
+                                    False, info, modes)
+    hsync(counts)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for i in range(outer):
+        vals, counts = run_inference_mc(dgj, vals, dgj.w_init,
+                                        jax.random.fold_in(key, i), inner,
+                                        False, info, modes)
+    hsync(counts)
+    dt = time.time() - t0
+    rate = info.n_vars * inner * outer * n_chains / dt
+    return rate, compile_s, dt
+
+
+def bench_learning(g, colors, modes, n_chains, epochs, sweeps_per_epoch,
+                   outer):
+    from sampler_tpu.compile import compile_graph, to_device
+    from sampler_tpu.engine.learn import LearnConfig
+    from sampler_tpu.engine.multichain import learn_mc
+
+    # label half the grid so the gradient has signal (evidence world differs
+    # from the free world)
+    g.var_role[::2] = 1
+    g.var_init[::2] = (np.arange((g.n_vars + 1) // 2) % 2).astype(np.int32)
+    dg, info = compile_graph(g, colors=colors)
+    dgj = to_device(dg)
+    cfg = LearnConfig(n_epochs=epochs, n_sweeps_per_epoch=sweeps_per_epoch,
+                      stepsize=0.01, diminish=0.99, regularization="l2",
+                      reg_param=0.01)
+    key = jax.random.PRNGKey(2)
+
+    t0 = time.time()
+    w, _, _ = learn_mc(dgj, dgj.w_init, key, cfg, info, n_chains, modes)
+    hsync(w)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for i in range(outer):
+        w, _, _ = learn_mc(dgj, w, jax.random.fold_in(key, i), cfg, info,
+                           n_chains, modes)
+    hsync(w)
+    dt = time.time() - t0
+    sweeps = epochs * sweeps_per_epoch * outer
+    # one learning sweep resamples BOTH worlds over all chains
+    updates = info.n_vars * sweeps * 2 * n_chains
+    return sweeps / dt, updates / dt, compile_s, dt
+
+
 def main():
     from sampler_tpu.benchgraphs import big_ising_grid
     from sampler_tpu.compile import compile_graph, to_device
-    from sampler_tpu.engine.multichain import init_values_mc, sweep_mc
+    from sampler_tpu.engine.multichain import resolve_modes
 
     rows = cols = int(os.environ.get("BENCH_GRID", "1024"))
     n_chains = int(os.environ.get("BENCH_CHAINS", "512"))
     inner = int(os.environ.get("BENCH_INNER", "10"))     # sweeps per call
     outer = int(os.environ.get("BENCH_OUTER", "6"))      # chained calls
+    l_chains = int(os.environ.get("BENCH_LEARN_CHAINS", "32"))
+    l_epochs = int(os.environ.get("BENCH_LEARN_EPOCHS", "10"))
+    l_sweeps = int(os.environ.get("BENCH_LEARN_SWEEPS", "2"))
+    l_outer = int(os.environ.get("BENCH_LEARN_OUTER", "3"))
 
     g, colors = big_ising_grid(rows, cols)
     dg, info = compile_graph(g, colors=colors)
     dgj = to_device(dg)
-    V = info.n_vars
+    modes = resolve_modes(info)
 
-    def scan_sweeps(d, v, k):
-        def body(vv, i):
-            return sweep_mc(d, vv, d.w_init, jax.random.fold_in(k, i),
-                            False, info), None
-        return jax.lax.scan(body, v, jnp.arange(inner))[0]
-
-    run = jax.jit(scan_sweeps)
-    vals = init_values_mc(dgj, jax.random.PRNGKey(0), n_chains, info)
-    key = jax.random.PRNGKey(1)
-
-    t0 = time.time()
-    vals = run(dgj, vals, key)
-    hsync(vals)
-    compile_s = time.time() - t0
-
-    t0 = time.time()
-    for i in range(outer):
-        vals = run(dgj, vals, jax.random.fold_in(key, i))
-    hsync(vals)
-    dt = time.time() - t0
-
-    updates = V * inner * outer * n_chains
-    rate = updates / dt
+    rate, compile_s, dt = bench_inference(dgj, info, modes, n_chains, inner,
+                                          outer)
     sys.stderr.write(
-        f"grid {rows}x{cols} V={V} chains={n_chains} sweeps={inner}x{outer} "
-        f"compile={compile_s:.1f}s run={dt:.3f}s device={jax.devices()[0]}\n")
+        f"inference: grid {rows}x{cols} V={info.n_vars} chains={n_chains} "
+        f"sweeps={inner}x{outer} modes={modes} compile={compile_s:.1f}s "
+        f"run={dt:.3f}s rate={rate:.3e}/s device={jax.devices()[0]}\n")
+
+    del dgj
+    lrate_sweeps, lrate_upd, lcompile_s, ldt = bench_learning(
+        g, colors, modes, l_chains, l_epochs, l_sweeps, l_outer)
+    sys.stderr.write(
+        f"learning: chains={l_chains} sweeps={l_epochs * l_sweeps}x{l_outer} "
+        f"compile={lcompile_s:.1f}s run={ldt:.3f}s "
+        f"rate={lrate_sweeps:.2f} sweeps/s ({lrate_upd:.3e} updates/s)\n")
+
     print(json.dumps({
         "metric": "variable_updates_per_s",
         "value": rate,
         "unit": "updates/s",
         "vs_baseline": rate / 1e9,
+        "learning_sweeps_per_s": lrate_sweeps,
+        "learning_updates_per_s": lrate_upd,
+        "modes": list(modes),
     }))
 
 

@@ -139,7 +139,8 @@ def cmd_gibbs(args) -> int:
     os.makedirs(args.outdir, exist_ok=True)
     results.write_marginals(graph, marg,
                             os.path.join(args.outdir, "inference_result.out.text"))
-    results.write_weights_out(np.asarray(weights),
+    # drop the reserved zero slot appended by compile (sparse-cw sentinel)
+    results.write_weights_out(np.asarray(weights)[: info.n_weights],
                               os.path.join(args.outdir,
                                            "inference_result.out.weights.text"))
     log(f"wrote {args.outdir}/inference_result.out.text")

@@ -103,9 +103,20 @@ class DeviceGraph(NamedTuple):
     cm_resample_ev: np.ndarray  # bool [C, B]: not pad (sample_evidence mode)
     # original-id mapping ------------------------------------------- [V]
     pos_of_vid: np.ndarray  # int32: original vid → color-major position
-    # weights --------------------------------------------------------- [W]
+    # weights ------------------------------------------------ [W + 1]
+    # one reserved always-zero FIXED slot is appended at index W: sparse
+    # combination-table misses point at it, so absent combinations
+    # contribute exactly 0 without a mask
     w_init: np.ndarray    # float32
     w_fixed: np.ndarray   # bool
+    # sparse per-combination weights (FUNC_AND_CATEGORICAL sparse variant;
+    # placeholders of the same rank when CompileInfo.has_sparse_cw=False):
+    cwt_wid: np.ndarray       # int32 [T] dense mixed-radix comb → wid table
+    f_cwbase: np.ndarray      # int32 [F'] table base (-1 = not sparse)
+    f_cwstride: np.ndarray    # int32 [F', A] mixed-radix stride per slot
+    cs_issparse: np.ndarray   # bool  [C, B, D]
+    cs_cwbase: np.ndarray     # int32 [C, B, D] (0 where not sparse)
+    cs_cwstride: np.ndarray   # int32 [C, B, D, A] (own-last slot order)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,6 +135,7 @@ class CompileInfo:
     band_tb: int = 0            # banded-gather tile size (variables/tile)
     affine2: bool = False       # fused affine color step available
                                 # (all-boolean, arity <= 2, banded)
+    has_sparse_cw: bool = False  # sparse per-combination weights present
 
 
 def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
@@ -239,6 +251,53 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
     cs_wid = f_wid[fi]
     cs_feat = f_feat[fi]
 
+    # --- sparse per-combination weights (FUNC 12 sparse variant) --------
+    # dense mixed-radix table per sparse factor: entry for combination
+    # (v_0..v_{a-1}) lives at base_f + Σ_j v_j·stride_j; combinations with
+    # no entry point at the reserved zero weight (index n_weights), so the
+    # device lookup needs NO mask (SURVEY.md §7 hard-part 3: hash-free).
+    ZERO_WID = graph.n_weights
+    has_cw = graph.cw_fid is not None and len(graph.cw_fid) > 0
+    f_cwbase_full = np.full(F + 1, -1, np.int64)
+    f_cwstride_full = np.zeros((F + 1, A), np.int64)
+    if has_cw:
+        edge_cards = graph.var_card[graph.e_vid].astype(np.int64)
+        sparse_f = np.unique(graph.cw_fid)
+        sizes = np.zeros(F + 1, np.int64)
+        for f in sparse_f:
+            lo, hi = graph.f_ptr[f], graph.f_ptr[f + 1]
+            cards = edge_cards[lo:hi]
+            # row-major over edge order: stride_j = Π_{l>j} card_l
+            strides = np.concatenate(
+                [np.cumprod(cards[::-1])[::-1][1:], [1]])
+            f_cwstride_full[f, : hi - lo] = strides
+            sizes[f] = int(np.prod(cards))
+        T = int(sizes.sum())
+        if T > (1 << 28):
+            raise ValueError(
+                f"sparse combination tables too large ({T} entries); "
+                "cap is 2^28 — split the factor or use dense weights")
+        bases = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        f_cwbase_full[sparse_f] = bases[sparse_f]
+        m = (graph.cw_cats.astype(np.int64)
+             * f_cwstride_full[graph.cw_fid, : graph.cw_cats.shape[1]]
+             ).sum(axis=1)
+        cwt_wid = np.full(max(T, 1), ZERO_WID, np.int32)
+        cwt_wid[f_cwbase_full[graph.cw_fid] + m] = graph.cw_wid
+        f_cwbase = f_cwbase_full.astype(np.int32)
+        f_cwstride = f_cwstride_full.astype(np.int32)
+        base_fi = f_cwbase[fi]                         # [C, B, D]
+        cs_issparse = base_fi >= 0
+        cs_cwbase = np.maximum(base_fi, 0).astype(np.int32)
+        cs_cwstride = take(f_cwstride[fi], perm, axis=-1)
+    else:
+        cwt_wid = np.full(1, ZERO_WID, np.int32)
+        f_cwbase = np.full(1, -1, np.int32)
+        f_cwstride = np.zeros((1, 1), np.int32)
+        cs_issparse = np.zeros((C, 1, 1), bool)
+        cs_cwbase = np.zeros((C, 1, 1), np.int32)
+        cs_cwstride = np.zeros((C, 1, 1, 1), np.int32)
+
     # --- banded-gather window plan --------------------------------------
     from .ops.banded import plan_banding
 
@@ -249,7 +308,7 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
 
     # --- fused affine color-step coefficients (ops/fused.py) ------------
     all_boolean = bool((graph.var_dtype == fs.DTYPE_BOOLEAN).all()
-                       and (graph.e_eqpred == 1).all())
+                       and (graph.e_eqpred == 1).all() and not has_cw)
     affine2 = bool(band_w > 0 and all_boolean and A == 2)
     if affine2:
         from .ops.fused import affine_pairwise
@@ -277,8 +336,11 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
         cm_kmask=cm_kmask, cm_resample=cm_resample,
         cm_resample_ev=cm_resample_ev,
         pos_of_vid=pos_of_vid.astype(np.int32),
-        w_init=graph.w_init.astype(np.float32),
-        w_fixed=graph.w_fixed.astype(bool),
+        w_init=np.append(graph.w_init, 0.0).astype(np.float32),
+        w_fixed=np.append(graph.w_fixed, True).astype(bool),
+        cwt_wid=cwt_wid, f_cwbase=f_cwbase, f_cwstride=f_cwstride,
+        cs_issparse=cs_issparse, cs_cwbase=cs_cwbase,
+        cs_cwstride=cs_cwstride,
     )
     info = CompileInfo(
         n_vars=V, n_factors=F, n_weights=graph.n_weights, n_colors=C,
@@ -288,6 +350,7 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
         all_boolean=all_boolean,
         band_w=band_w, band_tb=band_tile if band_w else 0,
         affine2=affine2,
+        has_sparse_cw=has_cw,
     )
     return dg, info
 

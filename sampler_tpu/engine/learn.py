@@ -37,17 +37,33 @@ class LearnConfig:
 
 
 def weight_gradient(dg, values_ev, values_free, learn_non_evidence: bool,
-                    present=None):
+                    present=None, has_sparse_cw: bool = False):
     """grad[W] float32 via segment-sum of per-factor stat differences."""
     phi_ev = factor_phis(dg, values_ev, present)
     phi_free = factor_phis(dg, values_free, present)
+    issparse = dg.f_cwbase >= 0 if has_sparse_cw else False
     diff = dg.f_feat * (phi_ev - phi_free)
     if not learn_non_evidence:
         # only factors touching >=1 evidence variable contribute
         touches_ev = jnp.any((dg.var_role[dg.f_vids] == 1) & dg.f_mask, axis=-1)
-        diff = jnp.where(touches_ev, diff, 0.0)
+    else:
+        touches_ev = True
+    diff = jnp.where(jnp.logical_and(touches_ev, jnp.logical_not(issparse)),
+                     diff, 0.0)
     W = dg.w_init.shape[0]
-    return jax.ops.segment_sum(diff, dg.f_wid, num_segments=W)
+    grad = jax.ops.segment_sum(diff, dg.f_wid, num_segments=W)
+    if has_sparse_cw:
+        # sparse per-combination weights: ±feat scattered at the weight id
+        # selected by each world's member combination (multichain.py twin)
+        from .multichain import sparse_comb_wids
+
+        sel = jnp.where(jnp.logical_and(touches_ev, issparse), dg.f_feat, 0.0)
+        grad = grad + jax.ops.segment_sum(
+            sel, sparse_comb_wids(dg, values_ev), num_segments=W)
+        grad = grad - jax.ops.segment_sum(
+            sel, sparse_comb_wids(dg, values_free), num_segments=W)
+        grad = grad.at[W - 1].set(0.0)
+    return grad
 
 
 def apply_update(weights, grad, w_fixed, stepsize, regularization: str,
@@ -86,7 +102,7 @@ def learn(dg, weights, key, cfg: LearnConfig, info):
             one_sweep, (v_ev, v_free), jnp.arange(cfg.n_sweeps_per_epoch))
 
         grad = weight_gradient(dg, v_ev, v_free, cfg.learn_non_evidence,
-                               info.present_funcs)
+                               info.present_funcs, info.has_sparse_cw)
         w = apply_update(w, grad, dg.w_fixed, alpha, cfg.regularization,
                          cfg.reg_param)
         return (w, v_ev, v_free, alpha * cfg.diminish), None

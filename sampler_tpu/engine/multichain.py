@@ -29,6 +29,35 @@ def values_dtype(info):
     return jnp.int8 if info.max_card <= 127 else jnp.int32
 
 
+def resolve_modes(info, backend: str | None = None) -> tuple:
+    """Resolve the (band, fused) kernel mechanisms for this graph and
+    environment — concrete strings, never 'auto'.
+
+    MUST be resolved OUTSIDE jit (the public entry points below do) so the
+    choice participates in the jit cache key: env vars read during tracing
+    go stale when the env later changes, because jit cache keys ignore the
+    environment (the round-1 dispatch bug)."""
+    from ..ops.banded import resolve_band
+    from ..ops.fused import resolve_fused
+
+    band = resolve_band(info, backend)
+    return (band, resolve_fused(info, band, backend))
+
+
+def demote_modes(modes, n_chains: int) -> tuple:
+    """Demote native-Pallas mechanisms when the trailing chain axis is not
+    lane-aligned: Mosaic requires the window DMA's minor dim (NC) to be a
+    multiple of 128, so small-chain configs fall back to the XLA paths.
+    Interpret mode has no such constraint (it is plain XLA underneath)."""
+    band, fused = modes
+    if n_chains % 128:
+        if band == "pallas":
+            band = "off"
+        if fused == "pallas":
+            fused = "off"
+    return (band, fused)
+
+
 def init_values_mc(dg, key, n_chains: int, info, random_init: bool = True):
     """Initial worlds [P, NC]: evidence at labels, query random per chain."""
     P = dg.var_card.shape[0]
@@ -119,10 +148,11 @@ def _phi_from_counts(nlit, head, n, f_type, present):
     return jnp.select(conds, vals, default=zero)
 
 
-def _nbr_lits(dg, values, c, info):
+def _nbr_lits(dg, values, c, info, modes):
     """Gather + literal-ize the NEIGHBOR slots of color ``c``.
 
-    Returns (nbr_lit [B, D, A-1, NC] bool, pos [B,D,A], eq [B,D,A]).
+    Returns (nbr_lit [B, D, A-1, NC] bool, pos [B,D,A], eq [B,D,A],
+    vals [B, D, A-1, NC] raw gathered values — None on unary graphs).
     Only the leading A-1 (own-last-permuted) slots are gathered — the own
     slots' literals come from the candidate, so fetching them would waste
     gather issue slots (the sweep's dominant cost).
@@ -134,14 +164,16 @@ def _nbr_lits(dg, values, c, info):
     A1 = nbr.shape[-1]
     NC = values.shape[-1]
     if A1 == 0:                       # unary-only graph: nothing to gather
-        return jnp.zeros(nbr.shape + (NC,), bool), pos, eq
-    from ..ops.banded import band_enabled, banded_gather
-    if band_enabled(info):
+        return jnp.zeros(nbr.shape + (NC,), bool), pos, eq, None
+    if modes[0] != "off":
         # MXU path: gather as banded one-hot matmul (ops/banded.py)
+        from ..ops.banded import banded_gather
+
         B, D = nbr.shape[0], nbr.shape[1]
         ntiles = B // info.band_tb
         nbr2 = nbr.reshape(ntiles, info.band_tb * D * A1)
-        vals = banded_gather(values, nbr2, dg.bd_start[c], info.band_w)
+        vals = banded_gather(values, nbr2, dg.bd_start[c], info.band_w,
+                             modes[0])
         vals = vals.reshape(B, D, A1, NC)
     else:
         vals = values[nbr]            # [B, D, A-1, NC]  row gather
@@ -150,14 +182,14 @@ def _nbr_lits(dg, values, c, info):
     else:
         nbr_lit = (vals == eq[..., :A1, None].astype(dt)) \
             == pos[..., :A1, None]
-    return nbr_lit, pos, eq
+    return nbr_lit, pos, eq, vals
 
 
-def color_logits_mc(dg, values, weights, c, info):
+def color_logits_mc(dg, values, weights, c, info, modes=("off", "off")):
     """Conditional log-potentials [B, K, NC] for color ``c``."""
     K = info.max_card
     A = dg.cs_mask.shape[-1]
-    nbr_lit, pos, eq = _nbr_lits(dg, values, c, info)
+    nbr_lit, pos, eq, vals_raw = _nbr_lits(dg, values, c, info, modes)
     A1 = A - 1
     msk = dg.cs_mask[c]
     ks = jax.lax.broadcasted_iota(jnp.int32, (K,), 0)
@@ -190,10 +222,35 @@ def color_logits_mc(dg, values, weights, c, info):
         hmask=dg.cs_hmask[c][:, :, None, :, None],
     )                                                  # [B, D, K, NC]
     wf = (weights[dg.cs_wid[c]] * dg.cs_feat[c])[:, :, None, None]
-    return jnp.sum(wf * phi, axis=1)                   # [B, K, NC]
+    contrib = wf * phi
+    if info.has_sparse_cw:
+        # sparse per-combination weights: the incident factor contributes
+        # weights[table[m]] where m = base + Σ_slot stride·value (candidate
+        # at own slots, gathered value at neighbor slots); table misses
+        # land on the reserved zero weight, so no mask is needed.  Missing
+        # candidate rows (k >= card) are killed later by cm_kmask.
+        stride = dg.cs_cwstride[c]                     # [B, D, A]
+        s_own = jnp.sum(jnp.where(is_mine, stride, 0),
+                        axis=-1).astype(jnp.int32)     # [B, D]
+        if vals_raw is None:
+            nbr_sum = jnp.zeros(stride.shape[:2] + (NC,), jnp.int32)
+        else:
+            nbr_sum = jnp.sum(
+                stride[..., :A1, None].astype(jnp.int32)
+                * vals_raw.astype(jnp.int32), axis=-2)  # [B, D, NC]
+        T = dg.cwt_wid.shape[0]
+        m = (dg.cs_cwbase[c][:, :, None, None]
+             + s_own[:, :, None, None] * ks[None, None, :, None]
+             + nbr_sum[:, :, None, :])
+        swid = dg.cwt_wid[jnp.clip(m, 0, T - 1)]
+        sc = weights[swid] * dg.cs_feat[c][:, :, None, None]
+        contrib = jnp.where(dg.cs_issparse[c][:, :, None, None], sc,
+                            contrib)
+    return jnp.sum(contrib, axis=1)                    # [B, K, NC]
 
 
-def color_delta_bool(dg, values, weights, c, info):
+def color_delta_bool(dg, values, weights, c, info,
+                     modes=("off", "off")):
     """Boolean fast path: logit(v=1) − logit(v=0), [B, NC], for color ``c``.
 
     Skips the K-candidate axis of the general path entirely: the candidate
@@ -203,7 +260,7 @@ def color_delta_bool(dg, values, weights, c, info):
     uniform-sigmoid draw this is distribution-identical to Gumbel-argmax
     over two candidates.
     """
-    nbr_lit, pos, _ = _nbr_lits(dg, values, c, info)   # [B, D, A-1, NC]
+    nbr_lit, pos, _, _ = _nbr_lits(dg, values, c, info, modes)
     msk = dg.cs_mask[c]
     ismine = dg.cs_ismine[c]
     A1 = nbr_lit.shape[-2]
@@ -233,50 +290,47 @@ def color_delta_bool(dg, values, weights, c, info):
     return jnp.sum(wf * (phi1 - phi0), axis=1)                # [B, NC]
 
 
-def prepare_fold(dg, weights, info):
+def prepare_fold(dg, weights, info, modes):
     """Per-weights prep for the fused affine color step (ops/fused.py).
 
     Returns (beta, base) streams or None when the fused path is not
     applicable.  Called OUTSIDE the sweep loops — the fold includes a
     weights gather that must be amortized over many sweeps."""
-    from ..ops.fused import fold_affine, fused_enabled
+    from ..ops.fused import fold_affine
 
-    if not fused_enabled(info):
+    if modes[1] == "off":
         return None
     return fold_affine(dg, jnp.asarray(weights, jnp.float32), info)
 
 
-def color_draw_mc(dg, values, weights, key, c, info, folded=None):
+def color_draw_mc(dg, values, weights, key, c, info, folded=None,
+                  modes=("off", "off")):
     """Draw new candidate values [B, NC] for color ``c`` (no write-back)."""
     if folded is not None:
-        import os
-
         from ..ops.fused import fused_color_draw
 
-        interp = os.environ.get("SAMPLER_TPU_FUSED",
-                                "auto").lower() == "interpret"
         seed = jax.lax.bitcast_convert_type(key, jnp.int32).reshape(-1)[:2]
         D = dg.cs_mask.shape[2]
         return fused_color_draw(values, dg.bd_nbr[c], dg.bd_start[c],
                                 folded[0][c], folded[1][c], seed,
                                 info.band_w, info.band_tb, D,
-                                interpret=interp)
+                                interpret=(modes[1] == "interpret"))
     if info.all_boolean and info.max_card == 2:
-        delta = color_delta_bool(dg, values, weights, c, info)
+        delta = color_delta_bool(dg, values, weights, c, info, modes)
         u = jax.random.uniform(key, delta.shape, dtype=delta.dtype)
         return (u < jax.nn.sigmoid(delta)).astype(values.dtype)
-    logits = color_logits_mc(dg, values, weights, c, info)
+    logits = color_logits_mc(dg, values, weights, c, info, modes)
     masked = logits + dg.cm_kmask[c][:, :, None]
     g = jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
     return jnp.argmax(masked + g, axis=1).astype(values.dtype)
 
 
 def color_step_mc(dg, values, weights, key, c, sample_evidence: bool, info,
-                  folded=None):
+                  folded=None, modes=("off", "off")):
     """Resample color ``c`` in all chains; returns updated values [P, NC]."""
     B = dg.cs_mask.shape[1]
     NC = values.shape[1]
-    drawn = color_draw_mc(dg, values, weights, key, c, info, folded)
+    drawn = color_draw_mc(dg, values, weights, key, c, info, folded, modes)
 
     resample = dg.cm_resample_ev[c] if sample_evidence else dg.cm_resample[c]
     old = jax.lax.dynamic_slice(values, (c * B, 0), (B, NC))
@@ -285,33 +339,46 @@ def color_step_mc(dg, values, weights, key, c, sample_evidence: bool, info,
 
 
 def sweep_mc(dg, values, weights, key, sample_evidence: bool, info,
-             folded=None):
+             folded=None, modes=None):
+    if modes is None:
+        modes = resolve_modes(info)
     C = dg.cs_mask.shape[0]
 
     def body(c, vals):
         ck = jax.random.fold_in(key, c)
         return color_step_mc(dg, vals, weights, ck, c, sample_evidence, info,
-                             folded)
+                             folded, modes)
 
     return jax.lax.fori_loop(0, C, body, values, unroll=(C <= 4))
 
 
-@partial(jax.jit, static_argnames=("n_sweeps", "sample_evidence", "info"))
-def run_sweeps_mc(dg, values, weights, key, n_sweeps: int,
-                  sample_evidence: bool, info):
-    folded = prepare_fold(dg, weights, info)
+@partial(jax.jit,
+         static_argnames=("n_sweeps", "sample_evidence", "info", "modes"))
+def _run_sweeps_mc(dg, values, weights, key, n_sweeps: int,
+                   sample_evidence: bool, info, modes):
+    folded = prepare_fold(dg, weights, info, modes)
 
     def body(vals, i):
         k = jax.random.fold_in(key, i)
         return sweep_mc(dg, vals, weights, k, sample_evidence, info,
-                        folded), None
+                        folded, modes), None
 
     return jax.lax.scan(body, values, jnp.arange(n_sweeps))[0]
 
 
-@partial(jax.jit, static_argnames=("n_sweeps", "sample_evidence", "info"))
-def run_inference_mc(dg, values, weights, key, n_sweeps: int,
-                     sample_evidence: bool, info):
+def run_sweeps_mc(dg, values, weights, key, n_sweeps: int,
+                  sample_evidence: bool, info, modes=None):
+    if modes is None:
+        modes = resolve_modes(info)
+    modes = demote_modes(modes, values.shape[-1])
+    return _run_sweeps_mc(dg, values, weights, key, n_sweeps,
+                          sample_evidence, info, modes)
+
+
+@partial(jax.jit,
+         static_argnames=("n_sweeps", "sample_evidence", "info", "modes"))
+def _run_inference_mc(dg, values, weights, key, n_sweeps: int,
+                      sample_evidence: bool, info, modes):
     """Returns (values [P,NC], counts [P,K] pooled over chains)."""
     P = dg.var_card.shape[0]
     K = info.max_card
@@ -319,12 +386,13 @@ def run_inference_mc(dg, values, weights, key, n_sweeps: int,
     # under shard_map (plain zeros would be 'unvarying' and break scan)
     counts0 = jnp.tile(values[:, :1].astype(jnp.int32) * 0, (1, K))
     ks = jnp.arange(K, dtype=jnp.int32)
-    folded = prepare_fold(dg, weights, info)
+    folded = prepare_fold(dg, weights, info, modes)
 
     def body(carry, i):
         vals, counts = carry
         k = jax.random.fold_in(key, i)
-        vals = sweep_mc(dg, vals, weights, k, sample_evidence, info, folded)
+        vals = sweep_mc(dg, vals, weights, k, sample_evidence, info, folded,
+                        modes)
         onehot = (vals.astype(jnp.int32)[:, None, :] == ks[None, :, None])
         counts = counts + jnp.sum(onehot, axis=-1, dtype=jnp.int32)
         return (vals, counts), None
@@ -332,6 +400,15 @@ def run_inference_mc(dg, values, weights, key, n_sweeps: int,
     (values, counts), _ = jax.lax.scan(body, (values, counts0),
                                        jnp.arange(n_sweeps))
     return values, counts
+
+
+def run_inference_mc(dg, values, weights, key, n_sweeps: int,
+                     sample_evidence: bool, info, modes=None):
+    if modes is None:
+        modes = resolve_modes(info)
+    modes = demote_modes(modes, values.shape[-1])
+    return _run_inference_mc(dg, values, weights, key, n_sweeps,
+                             sample_evidence, info, modes)
 
 
 def mc_factor_phis(dg, values, info):
@@ -345,21 +422,56 @@ def mc_factor_phis(dg, values, info):
                          info.present_funcs)
 
 
+def sparse_comb_wids(dg, values):
+    """Per-factor sparse-table weight ids for world(s) ``values``.
+
+    values [P] or [P, NC] → wid of the SAME trailing shape [F'(, NC)];
+    non-sparse factors map to the reserved zero-weight slot."""
+    vals = values[dg.f_vids].astype(jnp.int32)         # [F', A(, NC)]
+    stride = dg.f_cwstride if values.ndim == 1 else dg.f_cwstride[..., None]
+    base = dg.f_cwbase if values.ndim == 1 else dg.f_cwbase[:, None]
+    m = base + jnp.sum(stride * vals, axis=1)
+    T = dg.cwt_wid.shape[0]
+    wid = dg.cwt_wid[jnp.clip(m, 0, T - 1)]
+    zero = jnp.int32(dg.w_init.shape[0] - 1)           # reserved zero slot
+    return jnp.where(base >= 0, wid, zero)
+
+
 def mc_weight_gradient(dg, v_ev, v_free, learn_non_evidence: bool, info):
     """Weight gradient averaged over the chain axis of [P, NC] worlds."""
+    issparse = dg.f_cwbase[:, None] >= 0 if info.has_sparse_cw else False
     diff = dg.f_feat[:, None] * (mc_factor_phis(dg, v_ev, info)
                                  - mc_factor_phis(dg, v_free, info))
     if not learn_non_evidence:
         touches_ev = jnp.any((dg.var_role[dg.f_vids] == 1) & dg.f_mask,
-                             axis=-1)
-        diff = jnp.where(touches_ev[:, None], diff, 0.0)
+                             axis=-1)[:, None]
+    else:
+        touches_ev = True
+    diff = jnp.where(jnp.logical_and(touches_ev,
+                                     jnp.logical_not(issparse)), diff, 0.0)
     diff = jnp.mean(diff, axis=1)
     W = dg.w_init.shape[0]
-    return jax.ops.segment_sum(diff, dg.f_wid, num_segments=W)
+    grad = jax.ops.segment_sum(diff, dg.f_wid, num_segments=W)
+    if info.has_sparse_cw:
+        # sparse factors: φ ≡ 1 for the entry matching the current
+        # combination, so grad(w[wid(world)]) += ±feat — a scatter-add to
+        # DATA-DEPENDENT weight ids (chain-averaged)
+        NC = v_ev.shape[-1]
+        sel = jnp.where(jnp.logical_and(touches_ev, issparse),
+                        dg.f_feat[:, None] / NC,
+                        0.0) * jnp.ones((1, NC))
+        wid_ev = sparse_comb_wids(dg, v_ev)
+        wid_free = sparse_comb_wids(dg, v_free)
+        grad = grad + jax.ops.segment_sum(sel.ravel(), wid_ev.ravel(),
+                                          num_segments=W)
+        grad = grad - jax.ops.segment_sum(sel.ravel(), wid_free.ravel(),
+                                          num_segments=W)
+        grad = grad.at[W - 1].set(0.0)   # keep the reserved slot inert
+    return grad
 
 
-@partial(jax.jit, static_argnames=("cfg", "info", "n_chains"))
-def learn_mc(dg, weights, key, cfg, info, n_chains: int):
+@partial(jax.jit, static_argnames=("cfg", "info", "n_chains", "modes"))
+def _learn_mc(dg, weights, key, cfg, info, n_chains: int, modes):
     """Multi-chain contrastive SGD: NC evidence worlds + NC free worlds,
     chain-averaged gradients (a mini-batch over worlds).  Same update rule
     and fixed points as engine.learn (SURVEY.md §2c)."""
@@ -372,15 +484,15 @@ def learn_mc(dg, weights, key, cfg, info, n_chains: int):
     def epoch(carry, i):
         w, v_ev, v_free, alpha = carry
         ki = jax.random.fold_in(kscan, i)
-        folded = prepare_fold(dg, w, info)   # refold: w changes per epoch
+        folded = prepare_fold(dg, w, info, modes)  # refold: w changes
 
         def one_sweep(c, j):
             v_ev, v_free = c
             kj = jax.random.fold_in(ki, j)
             v_ev = sweep_mc(dg, v_ev, w, jax.random.fold_in(kj, 0),
-                            False, info, folded)
+                            False, info, folded, modes)
             v_free = sweep_mc(dg, v_free, w, jax.random.fold_in(kj, 1),
-                              True, info, folded)
+                              True, info, folded, modes)
             return (v_ev, v_free), None
 
         (v_ev, v_free), _ = jax.lax.scan(
@@ -398,17 +510,27 @@ def learn_mc(dg, weights, key, cfg, info, n_chains: int):
     return w, v_ev, v_free
 
 
+def learn_mc(dg, weights, key, cfg, info, n_chains: int, modes=None):
+    if modes is None:
+        modes = resolve_modes(info)
+    modes = demote_modes(modes, n_chains)
+    return _learn_mc(dg, weights, key, cfg, info, n_chains, modes)
+
+
 def infer_mc(dg, weights, key, n_burn: int, n_sweeps: int, info,
              n_chains: int, sample_evidence: bool = False,
-             random_init: bool = True):
+             random_init: bool = True, modes=None):
     """Chains-last inference; returns (marginals [V,K] float32, values)."""
+    if modes is None:
+        modes = resolve_modes(info)
+    modes = demote_modes(modes, n_chains)
     k_init, k_burn, k_inf = jax.random.split(key, 3)
     values = init_values_mc(dg, k_init, n_chains, info, random_init)
     if n_burn:
         values = run_sweeps_mc(dg, values, weights, k_burn, n_burn,
-                               sample_evidence, info)
+                               sample_evidence, info, modes)
     values, counts = run_inference_mc(dg, values, weights, k_inf, n_sweeps,
-                                      sample_evidence, info)
+                                      sample_evidence, info, modes)
     marg = counts[dg.pos_of_vid].astype(jnp.float32) / jnp.float32(
         n_sweeps * n_chains)
     return marg, values

@@ -21,12 +21,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .multichain import color_draw_mc, color_logits_mc
+from .multichain import (color_draw_mc, color_logits_mc, demote_modes,
+                         resolve_modes)
 
 NEG_INF = jnp.float32(-1e30)
 
 
-def color_logits(dg, values, weights, c, info):
+def color_logits(dg, values, weights, c, info, modes=None):
     """Conditional log-potentials [B, K] for color ``c`` (traced index).
 
     Thin single-chain wrapper over the chains-last kernel (NC=1): the
@@ -35,10 +36,14 @@ def color_logits(dg, values, weights, c, info):
     slots are handled exactly (each distinct incident factor appears once —
     compile.py dedups the incidence lists).
     """
-    return color_logits_mc(dg, values[:, None], weights, c, info)[..., 0]
+    if modes is None:
+        modes = demote_modes(resolve_modes(info), 1)
+    return color_logits_mc(dg, values[:, None], weights, c, info,
+                           modes)[..., 0]
 
 
-def color_step(dg, values, weights, key, c, sample_evidence: bool, info):
+def color_step(dg, values, weights, key, c, sample_evidence: bool, info,
+               modes=None):
     """Resample color ``c``; returns updated values [P].
 
     The candidate-cardinality mask and the resample mask are precomputed
@@ -46,8 +51,11 @@ def color_step(dg, values, weights, key, c, sample_evidence: bool, info):
     at runtime from sliced metadata triggers a ~400x-slower Mosaic lowering
     on TPU.
     """
+    if modes is None:
+        modes = demote_modes(resolve_modes(info), 1)
     B = dg.cs_mask.shape[1]
-    drawn = color_draw_mc(dg, values[:, None], weights, key, c, info)[:, 0]
+    drawn = color_draw_mc(dg, values[:, None], weights, key, c, info,
+                          None, modes)[:, 0]
 
     resample = dg.cm_resample_ev[c] if sample_evidence else dg.cm_resample[c]
     old = jax.lax.dynamic_slice(values, (c * B,), (B,))
@@ -55,13 +63,17 @@ def color_step(dg, values, weights, key, c, sample_evidence: bool, info):
     return jax.lax.dynamic_update_slice(values, new, (c * B,))
 
 
-def sweep(dg, values, weights, key, sample_evidence: bool, info):
+def sweep(dg, values, weights, key, sample_evidence: bool, info,
+          modes=None):
     """One full Gibbs sweep over all colors.  ``info`` is static
     (CompileInfo is hashable)."""
+    if modes is None:
+        modes = demote_modes(resolve_modes(info), 1)
     C = dg.cs_mask.shape[0]
 
     def body(c, vals):
         ck = jax.random.fold_in(key, c)
-        return color_step(dg, vals, weights, ck, c, sample_evidence, info)
+        return color_step(dg, vals, weights, ck, c, sample_evidence, info,
+                          modes)
 
     return jax.lax.fori_loop(0, C, body, values, unroll=(C <= 4))

@@ -83,6 +83,51 @@ def categorical_graph(seed: int = 0, n: int = 6, card: int = 4) -> FactorGraph:
     return FactorGraph.build(var_card=[card] * n, weights=weights, factors=factors)
 
 
+def sparse_categorical_graph(seed: int = 0, n: int = 6,
+                             card: int = 3) -> FactorGraph:
+    """FUNC_AND_CATEGORICAL with SPARSE PER-COMBINATION weights (SURVEY.md
+    §2b note): unary factors share a per-category weight table; pairwise
+    factors share a (card x card) table with one combination deliberately
+    ABSENT (contributes 0).  Exercises the dense mixed-radix lookup."""
+    rng = np.random.default_rng(seed)
+    # weights 0..card-1: unary table; card..card+card^2-1: pairwise table
+    n_w = card + card * card
+    weights = rng.normal(0, 0.5, size=n_w).round(3)
+    unary_tab = [((k,), k) for k in range(card)]
+    pair_tab = [((a, b), card + a * card + b)
+                for a in range(card) for b in range(card)
+                if not (a == 0 and b == 0)]            # (0,0) absent
+    factors = []
+    for v in range(n):
+        factors.append((fs.FUNC_AND_CATEGORICAL, 0, 1.0, [(v, True, 0)],
+                        unary_tab))
+    for v in range(n - 1):
+        factors.append((fs.FUNC_AND_CATEGORICAL, 0, 1.0,
+                        [(v, True, 0), (v + 1, True, 0)], pair_tab))
+    return FactorGraph.build(var_card=[card] * n, weights=weights,
+                             factors=factors)
+
+
+def labeled_categorical_graph(n_obs: int = 400, probs=(0.6, 0.3, 0.1),
+                              seed: int = 0) -> FactorGraph:
+    """Learning fixture for sparse per-combination weights: n_obs evidence
+    categorical draws share one per-category weight table; SGD must recover
+    softmax(w) ≈ empirical category frequencies."""
+    rng = np.random.default_rng(seed)
+    card = len(probs)
+    labels = rng.choice(card, size=n_obs, p=probs).astype(np.int32)
+    tab = [((k,), k) for k in range(card)]
+    factors = [(fs.FUNC_AND_CATEGORICAL, 0, 1.0, [(i, True, 0)], tab)
+               for i in range(n_obs)]
+    return FactorGraph.build(
+        var_card=[card] * n_obs,
+        weights=[0.0] * card,
+        factors=factors,
+        var_role=np.full(n_obs, fs.ROLE_EVIDENCE, np.uint8),
+        var_init=labels,
+    )
+
+
 def mixed_graph(seed: int = 0) -> FactorGraph:
     """Boolean + categorical variables in one graph, mixed factor types."""
     rng = np.random.default_rng(seed)

@@ -48,6 +48,32 @@ VARIABLE_RECORD = np.dtype(
 )
 # Factor records are variable-length (arity-dependent); see io/binary.py.
 
+# OLD two-file layout (SURVEY.md §2a: "older revisions used a separate
+# edges file").  When the metadata CSV names a non-empty edges file, the
+# factors file holds fixed-width records and member edges live in their own
+# file.  Field widths are [R, medium-confidence] like the rest — centralized
+# here for one-line correction against real fixtures.
+OLD_FACTOR_RECORD = np.dtype(
+    [("ftype", BE_U16), ("arity", BE_I64), ("wid", BE_I64), ("feat", BE_F64)]
+)
+EDGE_RECORD = np.dtype(
+    [
+        ("vid", BE_I64),
+        ("fid", BE_I64),
+        ("position", BE_I64),
+        ("ispos", BE_U8),
+        ("eqpred", BE_I64),
+    ]
+)
+
+# Sparse per-combination weights (FUNC_AND_CATEGORICAL sparse variant —
+# SURVEY.md §2b note).  The reference's on-disk encoding was unverifiable
+# (empty mount, §0), so the capability is exposed through an OPTIONAL sixth
+# file "<factors>.cweights": per entry, factorIndex:i64, weightId:i64, then
+# arity(factor) × categoryValue:i64 (sparse values, translated through the
+# domains file like equal-predicates).
+CWEIGHT_HEADER = np.dtype([("fid", BE_I64), ("wid", BE_I64)])
+
 # ---------------------------------------------------------------------------
 # Variable roles / data types
 # ---------------------------------------------------------------------------

@@ -41,6 +41,14 @@ class FactorGraph:
     e_eqpred: np.ndarray   # int32 equal_predicate (1 for boolean edges)
     # optional: per-variable sparse-category value maps (io fidelity only)
     domains: Optional[Dict[int, np.ndarray]] = None
+    # optional: SPARSE PER-COMBINATION WEIGHTS (FUNC_AND_CATEGORICAL sparse
+    # variant — SURVEY.md §2b note / §7 hard-part 3).  A factor listed here
+    # contributes w[cw_wid[e]]·feat when its members' joint assignment
+    # equals cw_cats[e] (dense category indices, edge order), and 0 for any
+    # combination with no entry; its f_wid is ignored.  [N entries total]
+    cw_fid: Optional[np.ndarray] = None   # int64 factor id per entry
+    cw_cats: Optional[np.ndarray] = None  # int32 [N, max_arity] (0-padded)
+    cw_wid: Optional[np.ndarray] = None   # int32 weight id per entry
 
     # ------------------------------------------------------------------
     @property
@@ -77,6 +85,17 @@ class FactorGraph:
         for t in np.unique(self.f_type):
             if int(t) not in fs.ALL_FACTOR_FUNCS:
                 raise ValueError(f"unknown factor type {t}")
+        if self.cw_fid is not None and len(self.cw_fid):
+            arity = self.arities()
+            assert (self.cw_fid >= 0).all() and (self.cw_fid < F).all()
+            assert (self.cw_wid >= 0).all() and (self.cw_wid < W).all()
+            assert (self.f_type[self.cw_fid] == fs.FUNC_AND_CATEGORICAL).all(), \
+                "per-combination weights require FUNC_AND_CATEGORICAL"
+            for e in range(len(self.cw_fid)):
+                f = self.cw_fid[e]
+                cats = self.cw_cats[e, : arity[f]]
+                cards = self.var_card[self.e_vid[self.f_ptr[f]:self.f_ptr[f + 1]]]
+                assert (cats >= 0).all() and (cats < cards).all()
         return self
 
     # ------------------------------------------------------------------
@@ -94,7 +113,10 @@ class FactorGraph:
 
         ``factors`` is a list of tuples
         ``(ftype, weight_id, feature_value, edges)`` where ``edges`` is a
-        list of ``(vid, ispos)`` or ``(vid, ispos, eqpred)``.
+        list of ``(vid, ispos)`` or ``(vid, ispos, eqpred)``.  An optional
+        5th element gives sparse per-combination weights as a list of
+        ``(cats_tuple, weight_id)`` (FUNC_AND_CATEGORICAL only; the
+        factor's own weight_id is then ignored).
         """
         var_card = np.asarray(var_card, np.int32)
         V = len(var_card)
@@ -110,7 +132,9 @@ class FactorGraph:
 
         f_type, f_wid, f_feat, f_ptr = [], [], [], [0]
         e_vid, e_ispos, e_eqpred = [], [], []
-        for ftype, wid, feat, edges in factors:
+        cw_fid, cw_cats, cw_wid = [], [], []
+        for fac in factors:
+            ftype, wid, feat, edges = fac[:4]
             f_type.append(ftype)
             f_wid.append(wid)
             f_feat.append(feat)
@@ -121,8 +145,23 @@ class FactorGraph:
                 e_ispos.append(bool(ispos))
                 e_eqpred.append(eqpred)
             f_ptr.append(len(e_vid))
+            if len(fac) > 4 and fac[4]:
+                for cats, cwid in fac[4]:
+                    cw_fid.append(len(f_type) - 1)
+                    cw_cats.append(tuple(cats))
+                    cw_wid.append(cwid)
+        if cw_fid:
+            amax = max(len(c) for c in cw_cats)
+            cats_arr = np.zeros((len(cw_cats), amax), np.int32)
+            for i, c in enumerate(cw_cats):
+                cats_arr[i, : len(c)] = c
+            cw = dict(cw_fid=np.asarray(cw_fid, np.int64), cw_cats=cats_arr,
+                      cw_wid=np.asarray(cw_wid, np.int32))
+        else:
+            cw = {}
 
         return FactorGraph(
+            **cw,
             var_dtype=np.asarray(var_dtype, np.uint8),
             var_role=np.asarray(var_role, np.uint8),
             var_init=np.asarray(var_init, np.int32),

@@ -66,6 +66,51 @@ def write_factors(graph: FactorGraph, path: str) -> None:
         fp.write(b"".join(chunks))
 
 
+def write_factors_old(graph: FactorGraph, factors_path: str,
+                      edges_path: str) -> None:
+    """OLD two-file layout (format_spec.OLD_FACTOR_RECORD / EDGE_RECORD):
+    fixed-width factor records + a separate edges file."""
+    rec = np.empty(graph.n_factors, fs.OLD_FACTOR_RECORD)
+    rec["ftype"] = graph.f_type
+    rec["arity"] = graph.arities()
+    rec["wid"] = graph.f_wid
+    rec["feat"] = graph.f_feat
+    rec.tofile(factors_path)
+    E = graph.n_edges
+    erec = np.empty(E, fs.EDGE_RECORD)
+    erec["vid"] = graph.e_vid
+    erec["fid"] = np.repeat(np.arange(graph.n_factors), graph.arities())
+    erec["position"] = np.arange(E) - np.repeat(graph.f_ptr[:-1],
+                                                graph.arities())
+    erec["ispos"] = graph.e_ispos.astype(np.uint8)
+    erec["eqpred"] = [
+        _dense_to_sparse_eq(graph, int(graph.e_vid[e]),
+                            int(graph.e_eqpred[e]))
+        for e in range(E)
+    ]
+    erec.tofile(edges_path)
+
+
+def write_comb_weights(graph: FactorGraph, path: str) -> None:
+    """Optional sparse per-combination weight entries
+    (format_spec.CWEIGHT_HEADER + arity × categoryValue:i64)."""
+    arity = graph.arities()
+    chunks = []
+    for e in range(len(graph.cw_fid)):
+        f = int(graph.cw_fid[e])
+        lo = int(graph.f_ptr[f])
+        chunks.append(np.array([(f, graph.cw_wid[e])],
+                               fs.CWEIGHT_HEADER).tobytes())
+        cats = [
+            _dense_to_sparse_eq(graph, int(graph.e_vid[lo + j]),
+                                int(graph.cw_cats[e, j]))
+            for j in range(int(arity[f]))
+        ]
+        chunks.append(np.asarray(cats, fs.BE_I64).tobytes())
+    with open(path, "wb") as fp:
+        fp.write(b"".join(chunks))
+
+
 def write_domains(graph: FactorGraph, path: str) -> None:
     chunks = []
     for vid, values in sorted((graph.domains or {}).items()):
@@ -88,19 +133,30 @@ def write_meta(graph: FactorGraph, path: str, weights_file: str,
         fp.write(line + "\n")
 
 
-def write_graph(graph: FactorGraph, outdir: str, prefix: str = "graph") -> str:
-    """Write all files into ``outdir``; returns the metadata path."""
+def write_graph(graph: FactorGraph, outdir: str, prefix: str = "graph",
+                old_format: bool = False) -> str:
+    """Write all files into ``outdir``; returns the metadata path.
+
+    ``old_format=True`` writes the two-file factors+edges layout used by
+    older reference revisions (SURVEY.md §2a)."""
     os.makedirs(outdir, exist_ok=True)
     wf = os.path.join(outdir, f"{prefix}.weights")
     vf = os.path.join(outdir, f"{prefix}.variables")
     ff = os.path.join(outdir, f"{prefix}.factors")
     write_weights(graph, wf)
     write_variables(graph, vf)
-    write_factors(graph, ff)
+    ef = ""
+    if old_format:
+        ef = os.path.join(outdir, f"{prefix}.edges")
+        write_factors_old(graph, ff, ef)
+    else:
+        write_factors(graph, ff)
     if graph.domains:
         write_domains(graph, os.path.join(outdir, f"{prefix}.domains"))
+    if graph.cw_fid is not None and len(graph.cw_fid):
+        write_comb_weights(graph, ff + ".cweights")
     meta = os.path.join(outdir, f"{prefix}.meta")
-    write_meta(graph, meta, wf, vf, ff)
+    write_meta(graph, meta, wf, vf, ff, edges_file=ef)
     return meta
 
 
@@ -166,6 +222,50 @@ def read_factors(path: str):
             np.asarray(e_eq, np.int64))
 
 
+def read_factors_old(factors_path: str, edges_path: str):
+    """OLD two-file layout: fixed-width factor records + edges file.
+    Returns the same tuple as read_factors."""
+    rec = np.fromfile(factors_path, fs.OLD_FACTOR_RECORD)
+    erec = np.fromfile(edges_path, fs.EDGE_RECORD)
+    F = len(rec)
+    arity = rec["arity"].astype(np.int64)
+    f_ptr = np.concatenate([[0], np.cumsum(arity)])
+    if len(erec) != f_ptr[-1]:
+        raise ValueError(
+            f"edges file has {len(erec)} records, factors imply {f_ptr[-1]}")
+    # order edges by (factor, position) regardless of file order
+    order = np.lexsort((erec["position"], erec["fid"]))
+    erec = erec[order]
+    want_fid = np.repeat(np.arange(F), arity)
+    if not (erec["fid"].astype(np.int64) == want_fid).all():
+        raise ValueError("edges file factor ids do not match factor arities")
+    return (rec["ftype"].astype(np.int32), rec["wid"].astype(np.int32),
+            rec["feat"].astype(np.float64), f_ptr,
+            erec["vid"].astype(np.int64), erec["ispos"].astype(bool),
+            erec["eqpred"].astype(np.int64))
+
+
+def read_comb_weights(path: str, arity: np.ndarray):
+    """Sparse per-combination weight entries; ``arity`` is per-factor.
+    Returns (cw_fid, cw_cats_sparse [N, max_arity], cw_wid)."""
+    buf = memoryview(open(path, "rb").read())
+    pos, total = 0, len(buf)
+    fid, wid, cats = [], [], []
+    while pos < total:
+        head = np.frombuffer(buf, fs.CWEIGHT_HEADER, 1, pos)[0]
+        pos += fs.CWEIGHT_HEADER.itemsize
+        a = int(arity[int(head["fid"])])
+        fid.append(int(head["fid"]))
+        wid.append(int(head["wid"]))
+        cats.append(np.frombuffer(buf, fs.BE_I64, a, pos).astype(np.int64))
+        pos += 8 * a
+    amax = max((len(c) for c in cats), default=1)
+    cats_arr = np.zeros((len(cats), amax), np.int64)
+    for i, c in enumerate(cats):
+        cats_arr[i, : len(c)] = c
+    return (np.asarray(fid, np.int64), cats_arr, np.asarray(wid, np.int32))
+
+
 def read_domains(path: str) -> Dict[int, np.ndarray]:
     buf = memoryview(open(path, "rb").read())
     pos, total = 0, len(buf)
@@ -195,8 +295,15 @@ def load_graph(meta_path: str, domains_path: Optional[str] = None) -> FactorGrap
 
     w_init, w_fixed = read_weights(rel(files["weights"]))
     role, init_sparse, dtype, card = read_variables(rel(files["variables"]))
-    f_type, f_wid, f_feat, f_ptr, e_vid, e_ispos, e_eq = read_factors(
-        rel(files["factors"]))
+    if files["edges"]:
+        # old two-file revision (SURVEY.md §2a): a non-empty edges entry
+        # means the factors file has NO inline member list — parsing it
+        # with the new-format reader would decode garbage
+        f_type, f_wid, f_feat, f_ptr, e_vid, e_ispos, e_eq = \
+            read_factors_old(rel(files["factors"]), rel(files["edges"]))
+    else:
+        f_type, f_wid, f_feat, f_ptr, e_vid, e_ispos, e_eq = read_factors(
+            rel(files["factors"]))
 
     domains = None
     if domains_path and os.path.exists(domains_path):
@@ -213,7 +320,28 @@ def load_graph(meta_path: str, domains_path: Optional[str] = None) -> FactorGrap
             if on_v.any():
                 e_eqpred[on_v] = [lut.get(int(s), int(s)) for s in e_eq[on_v]]
 
+    # optional sparse per-combination weights (sibling .cweights file)
+    cw = {}
+    cw_path = rel(files["factors"]) + ".cweights"
+    if os.path.exists(cw_path):
+        arity = np.diff(f_ptr)
+        cw_fid, cw_cats_sp, cw_wid = read_comb_weights(cw_path, arity)
+        cw_cats = cw_cats_sp.copy()
+        if domains:
+            for e in range(len(cw_fid)):
+                lo = int(f_ptr[cw_fid[e]])
+                for j in range(int(arity[cw_fid[e]])):
+                    vid = int(e_vid[lo + j])
+                    if vid in domains:
+                        lut = {int(s): d
+                               for d, s in enumerate(domains[vid])}
+                        cw_cats[e, j] = lut.get(int(cw_cats[e, j]),
+                                                int(cw_cats[e, j]))
+        cw = dict(cw_fid=cw_fid, cw_cats=cw_cats.astype(np.int32),
+                  cw_wid=cw_wid)
+
     g = FactorGraph(
+        **cw,
         var_dtype=dtype,
         var_role=role,
         var_init=var_init.astype(np.int32),

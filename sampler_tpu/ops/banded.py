@@ -76,19 +76,23 @@ def band_mode() -> str:
     return os.environ.get("SAMPLER_TPU_BAND", "auto").lower()
 
 
-def band_enabled(info, backend: str | None = None) -> bool:
-    """Should the sweep use the banded gather on the current backend?"""
+def resolve_band(info, backend: str | None = None) -> str:
+    """Resolve the banded-gather mechanism for this graph + environment.
+
+    Returns one of 'pallas' | 'interpret' | 'xla' | 'off' — a CONCRETE
+    mechanism, never 'auto'.  Must be called OUTSIDE jit (at entry-point
+    call sites) so the env/backend decision participates in the jit cache
+    key: an env var read inside a traced function goes stale when the env
+    changes, because jit cache keys ignore the environment."""
     if getattr(info, "band_w", 0) <= 0 or info.max_card > 127:
-        return False
+        return "off"
     mode = band_mode()
-    if mode == "off":
-        return False
-    if mode in ("pallas", "xla", "interpret"):
-        return True
+    if mode in ("off", "pallas", "xla", "interpret"):
+        return mode
     import jax
 
     backend = backend or jax.default_backend()
-    return backend in ("tpu", "axon")          # auto: TPU-class only
+    return "pallas" if backend in ("tpu", "axon") else "off"
 
 
 # --------------------------------------------------------------------------
@@ -195,9 +199,9 @@ def banded_gather_xla(values, nbr, starts, W: int, tile_batch: int = 16):
     return outs.reshape(ntiles * R, NC)
 
 
-def banded_gather(values, nbr, starts, W: int):
-    """Dispatch on SAMPLER_TPU_BAND: auto→pallas on TPU-class backends."""
-    mode = band_mode()
+def banded_gather(values, nbr, starts, W: int, mode: str = "pallas"):
+    """Run the banded gather with an explicit, pre-resolved mechanism
+    (one of resolve_band's non-'off' returns)."""
     if mode == "xla":
         return banded_gather_xla(values, nbr, starts, W)
     if mode == "interpret":

@@ -37,7 +37,6 @@ from functools import partial
 import numpy as np
 
 from .. import format_spec as fs
-from .banded import band_enabled
 
 
 # --------------------------------------------------------------------------
@@ -110,25 +109,64 @@ def fold_affine(dg, weights, info):
     return beta, base
 
 
-def fused_enabled(info) -> bool:
-    """Static gate: affine-pairwise fused kernel usable here?"""
+def fused_mode() -> str:
+    """'auto' | 'on' | 'interpret' | 'off' (env SAMPLER_TPU_FUSED)."""
+    return os.environ.get("SAMPLER_TPU_FUSED", "auto").lower()
+
+
+def resolve_fused(info, band: str, backend: str | None = None) -> str:
+    """Resolve the fused-affine mechanism: 'pallas' | 'interpret' | 'off'.
+
+    ``band`` is resolve_band's result.  The fused step is Pallas-only
+    (the unfused delta path IS the XLA fallback), so banding mode 'xla'
+    — "no Mosaic anywhere" — must never route here.  Like resolve_band,
+    call OUTSIDE jit so the decision is part of the jit cache key."""
     if not getattr(info, "affine2", False):
-        return False
-    mode = os.environ.get("SAMPLER_TPU_FUSED", "auto").lower()
+        return "off"
+    mode = fused_mode()
     if mode == "off":
-        return False
+        return "off"
     if mode == "interpret":
-        return True
-    return band_enabled(info)
+        return "interpret"
+    if mode == "on":
+        import jax
+
+        backend = backend or jax.default_backend()
+        return "pallas" if backend in ("tpu", "axon") else "interpret"
+    # auto: follow the banded mechanism (native or interpreted Pallas)
+    return band if band in ("pallas", "interpret") else "off"
 
 
 # --------------------------------------------------------------------------
 # the kernel
 # --------------------------------------------------------------------------
 
+def _portable_bits(shape, s0, s1):
+    """Counter-based 32-bit avalanche hash (lowbias32, two rounds with a
+    seed word injected between them) — the interpret-mode stand-in for
+    the TPU hardware PRNG, which has no CPU lowering."""
+    import jax
+    import jax.numpy as jnp
+
+    cnt = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+           * jnp.uint32(shape[1])
+           + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+
+    def mix(x):
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x7FEB352D)
+        x = x ^ (x >> 15)
+        x = x * jnp.uint32(0x846CA68B)
+        return x ^ (x >> 16)
+
+    x = mix(cnt ^ jnp.asarray(s0).astype(jnp.uint32))
+    return mix(x ^ jnp.asarray(s1).astype(jnp.uint32))
+
+
 def _fused_kernel(starts_ref, seed_ref, nbr_ref, beta_ref, base_ref,
                   values_ref, out_ref, win_ref, sem,
-                  *, W: int, TB: int, D: int, split_bf16: bool):
+                  *, W: int, TB: int, D: int, split_bf16: bool,
+                  interpret: bool):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -139,8 +177,13 @@ def _fused_kernel(starts_ref, seed_ref, nbr_ref, beta_ref, base_ref,
     copy = pltpu.make_async_copy(
         values_ref.at[pl.ds(start, W), :], win_ref, sem)
     copy.start()
-    # max 2 seed words: mix the tile id into the second (Knuth multiplier)
-    pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ (t * 2654435761))
+    # max 2 seed words: mix the tile id into the second.  The Knuth
+    # multiplier 0x9E3779B1 == 2654435761 does not fit int32 as a Python
+    # literal (trace-time OverflowError); use its two's-complement value.
+    knuth = jnp.int32(-1640531535)                     # 0x9E3779B1
+    tseed = seed_ref[1] ^ (t * knuth)
+    if not interpret:
+        pltpu.prng_seed(seed_ref[0], tseed)
 
     R = D * TB
     il = nbr_ref[0] - start                            # [1, R] d-major
@@ -170,8 +213,16 @@ def _fused_kernel(starts_ref, seed_ref, nbr_ref, beta_ref, base_ref,
             preferred_element_type=jnp.float32)        # [TB, NC]
     delta = delta + base_ref[0]                        # [TB, 1] broadcast
 
-    bits = pltpu.prng_random_bits(delta.shape)
-    u = (bits >> 8).astype(jnp.float32) * jnp.float32(2.0 ** -24) \
+    if interpret:
+        bits = _portable_bits(delta.shape, seed_ref[0], tseed)
+    else:
+        bits = pltpu.prng_random_bits(delta.shape)
+    # sign-safe 24-bit uniform: mask AFTER the shift so an arithmetic
+    # (signed) shift of a negative word cannot leak sign bits into u
+    u24 = jax.lax.shift_right_logical(
+        bits, jnp.asarray(8, bits.dtype)).astype(jnp.int32) \
+        & jnp.int32(0xFFFFFF)
+    u = u24.astype(jnp.float32) * jnp.float32(2.0 ** -24) \
         + jnp.float32(2.0 ** -25)
     out_ref[:] = (u < jax.nn.sigmoid(delta)).astype(out_ref.dtype)
 
@@ -194,7 +245,8 @@ def fused_color_draw(values, nbr_dmaj, starts, beta, base, seed,
     ntiles = nbr_dmaj.shape[0]
     R = D * TB
     P, NC = values.shape
-    kern = partial(_fused_kernel, W=W, TB=TB, D=D, split_bf16=split_bf16)
+    kern = partial(_fused_kernel, W=W, TB=TB, D=D, split_bf16=split_bf16,
+                   interpret=interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ntiles,),

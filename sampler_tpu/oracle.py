@@ -38,10 +38,28 @@ def log_potential(graph: FactorGraph, assignments: np.ndarray,
                   weights: np.ndarray | None = None) -> np.ndarray:
     """Unnormalized log p for each assignment row: Σ_f w·feat·φ_f."""
     w = graph.w_init if weights is None else np.asarray(weights, np.float64)
+    # sparse per-combination tables: fid -> {combination tuple: wid}
+    cw = {}
+    if graph.cw_fid is not None:
+        arity = graph.arities()
+        for e in range(len(graph.cw_fid)):
+            f = int(graph.cw_fid[e])
+            key = tuple(graph.cw_cats[e, : arity[f]])
+            cw.setdefault(f, {})[key] = int(graph.cw_wid[e])
     logp = np.zeros(len(assignments), np.float64)
     for f in range(graph.n_factors):
         lo, hi = graph.f_ptr[f], graph.f_ptr[f + 1]
         vids = graph.e_vid[lo:hi]
+        if f in cw:
+            # sparse variant: the weight of the CURRENT combination applies
+            # (absent combinations contribute 0); f_wid is ignored
+            table = cw[f]
+            wids = np.array(
+                [table.get(tuple(row), -1) for row in assignments[:, vids]],
+                np.int64)
+            w_ext = np.append(w, 0.0)
+            logp += w_ext[wids] * graph.f_feat[f]
+            continue
         lits = ff.literals(
             assignments[:, vids], graph.e_eqpred[lo:hi][None, :],
             graph.e_ispos[lo:hi][None, :],

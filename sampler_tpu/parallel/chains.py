@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..engine.learn import apply_update, weight_gradient
-from ..engine.multichain import (init_values_mc, run_inference_mc,
+from ..engine.multichain import (demote_modes, init_values_mc,
+                                 resolve_modes, run_inference_mc,
                                  run_sweeps_mc, sweep_mc, values_dtype)
 
 
@@ -45,6 +46,8 @@ def infer_sharded(dg, weights, key, n_burn: int, n_sweeps: int, info,
     Returns (marginals [V, K] float32 — replicated, values [P, NC_total]).
     """
     n_dev = mesh.devices.size
+    # resolved OUTSIDE the traced region; NC here is chains per device
+    modes = demote_modes(resolve_modes(info), chains_per_device)
 
     @partial(
         jax.shard_map, mesh=mesh,
@@ -57,9 +60,9 @@ def infer_sharded(dg, weights, key, n_burn: int, n_sweeps: int, info,
         vals = init_values_mc(dg_l, k_init, chains_per_device, info)
         if n_burn:
             vals = run_sweeps_mc(dg_l, vals, w, k_burn, n_burn,
-                                 sample_evidence, info)
+                                 sample_evidence, info, modes)
         vals, counts = run_inference_mc(dg_l, vals, w, k_inf, n_sweeps,
-                                        sample_evidence, info)
+                                        sample_evidence, info, modes)
         counts = jax.lax.psum(counts, "chains")   # pool tallies over ICI
         return vals, counts
 
@@ -74,7 +77,7 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=64)
-def _learn_step_fn(cfg, info, mesh: Mesh):
+def _learn_step_fn(cfg, info, mesh: Mesh, modes):
     """Build (and cache) the jitted data-parallel learning step.
 
     Cached on (cfg, info, mesh) so a Python epoch loop reuses one compiled
@@ -90,9 +93,9 @@ def _learn_step_fn(cfg, info, mesh: Mesh):
         from ..engine.multichain import prepare_fold
 
         ke, kf = jax.random.split(keys[0])
-        folded = prepare_fold(dg_l, w, info)
-        v_ev = sweep_mc(dg_l, v_ev, w, ke, False, info, folded)
-        v_free = sweep_mc(dg_l, v_free, w, kf, True, info, folded)
+        folded = prepare_fold(dg_l, w, info, modes)
+        v_ev = sweep_mc(dg_l, v_ev, w, ke, False, info, folded, modes)
+        v_free = sweep_mc(dg_l, v_free, w, kf, True, info, folded, modes)
         # gradient pooled over local chains, then over devices
         from ..engine.multichain import mc_weight_gradient
         grad = mc_weight_gradient(dg_l, v_ev, v_free,
@@ -114,7 +117,9 @@ def learn_step_sharded(dg, weights, v_ev, v_free, key, alpha, cfg, info,
     """
     n_dev = mesh.devices.size
     keys = jax.random.split(key, n_dev)
-    step = _learn_step_fn(cfg, info, mesh)
+    step = _learn_step_fn(cfg, info, mesh,
+                          demote_modes(resolve_modes(info),
+                                       v_ev.shape[-1] // n_dev))
     return step(dg, weights, v_ev, v_free, keys, alpha)
 
 

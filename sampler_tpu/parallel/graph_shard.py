@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..engine.multichain import color_draw_mc, init_values_mc
+from ..engine.multichain import (color_draw_mc, demote_modes,
+                                 init_values_mc, resolve_modes)
 
 
 def make_mesh(n_chains: int, n_graph: int, devices=None) -> Mesh:
@@ -36,7 +37,7 @@ def make_mesh(n_chains: int, n_graph: int, devices=None) -> Mesh:
 
 
 def _sharded_color_step(dg_l, values, weights, key, c, sample_evidence, info,
-                        n_graph: int):
+                        n_graph: int, modes=("off", "off")):
     """One color step where this device owns rows [g*Bl, (g+1)*Bl) of the
     block (dg_l holds the LOCAL stream slice; values are full [P, NC])."""
     Bl = dg_l.cs_mask.shape[1]        # local block rows
@@ -47,7 +48,7 @@ def _sharded_color_step(dg_l, values, weights, key, c, sample_evidence, info,
     # cs_ismine is streamed, so the logits need no positional info; the key
     # MUST differ per graph shard or the block draw would reuse noise
     key = jax.random.fold_in(key, g)
-    drawn = color_draw_mc(dg_l, values, weights, key, c, info)
+    drawn = color_draw_mc(dg_l, values, weights, key, c, info, None, modes)
 
     resample = (dg_l.cm_resample_ev[c] if sample_evidence
                 else dg_l.cm_resample[c])
@@ -61,13 +62,13 @@ def _sharded_color_step(dg_l, values, weights, key, c, sample_evidence, info,
 
 
 def sweep_gs(dg_l, values, weights, key, sample_evidence: bool, info,
-             n_graph: int):
+             n_graph: int, modes=("off", "off")):
     C = dg_l.cs_mask.shape[0]
 
     def body(c, vals):
         ck = jax.random.fold_in(key, c)
         return _sharded_color_step(dg_l, vals, weights, ck, c,
-                                   sample_evidence, info, n_graph)
+                                   sample_evidence, info, n_graph, modes)
 
     return jax.lax.fori_loop(0, C, body, values, unroll=(C <= 4))
 
@@ -75,13 +76,15 @@ def sweep_gs(dg_l, values, weights, key, sample_evidence: bool, info,
 def shard_device_graph(dg, mesh: Mesh):
     """device_put the DeviceGraph: cs_*/cm_* sharded over 'graph' on their
     B axis, everything else replicated."""
+    B = dg.cs_mask.shape[1]
     specs = {}
     for name in dg._fields:
-        if name.startswith(("cs_", "cm_")) or (
+        if (name.startswith(("cs_", "cm_"))
+                and getattr(dg, name).shape[1] == B) or (
                 name.startswith("bd_") and getattr(dg, name).shape[1] > 1):
             # axis 1 is B (streams) or ntiles (banding plan) — both are
             # contiguous slices of the color block, so they co-shard
-            # (a disabled [C, 1] banding plan stays replicated)
+            # (disabled [C, 1] plans / placeholder streams stay replicated)
             specs[name] = P(None, "graph")
         else:
             specs[name] = P()
@@ -104,14 +107,18 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
     """
     n_chains_ax = mesh.shape["chains"]
     n_graph = mesh.shape["graph"]
+    # resolved OUTSIDE the traced region; NC here is chains per device
+    modes = demote_modes(resolve_modes(info), chains_per_device)
     B = dg.cs_mask.shape[1]
     if B % n_graph:
         raise ValueError(
             f"block size {B} not divisible by graph axis {n_graph}; "
             f"compile with align=8*{n_graph}")
 
+    B_full = dg.cs_mask.shape[1]
     cs_spec = {n: (P(None, "graph")
-                   if n.startswith(("cs_", "cm_"))
+                   if (n.startswith(("cs_", "cm_"))
+                       and getattr(dg, n).shape[1] == B_full)
                    or (n.startswith("bd_") and getattr(dg, n).shape[1] > 1)
                    else P())
                for n in dg._fields}
@@ -137,7 +144,8 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
         def body(carry, i):
             vals, counts = carry
             kk = jax.random.fold_in(k_run, i)
-            vals = sweep_gs(dg_l, vals, w, kk, sample_evidence, info, n_graph)
+            vals = sweep_gs(dg_l, vals, w, kk, sample_evidence, info,
+                            n_graph, modes)
             tally = jnp.where(i >= n_burn, 1, 0)
             onehot = (vals.astype(jnp.int32)[:, None, :] == ks[None, :, None])
             counts = counts + tally * jnp.sum(onehot, axis=-1,

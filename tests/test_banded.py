@@ -65,7 +65,9 @@ def test_banded_sweep_bitwise_equals_gather_sweep(monkeypatch, mode):
     """Same key ⇒ banded and plain sweeps produce IDENTICAL samples.
 
     band_tile=8 == the default alignment, so both compilations share one
-    layout and one RNG stream: banding only changes the gather mechanism."""
+    layout and one RNG stream: banding only changes the gather mechanism.
+    The fused affine step is pinned OFF — it replaces the draw itself
+    (different RNG stream; tested separately in test_fused.py)."""
     g, colors = big_ising_grid(24, 24)
     g.w_init[:] = [0.4, -0.3]
     dg_b, info_b = compile_graph(g, colors=colors, band_tile=8,
@@ -75,8 +77,8 @@ def test_banded_sweep_bitwise_equals_gather_sweep(monkeypatch, mode):
     assert dg_b.cs_mask.shape == dg_p.cs_mask.shape
     key = jax.random.PRNGKey(7)
 
-    monkeypatch.setenv("SAMPLER_TPU_BAND", mode)
-    m_b, _ = infer_mc(to_device(dg_b), dg_b.w_init, key, 20, 200, info_b, 4)
-    monkeypatch.setenv("SAMPLER_TPU_BAND", "off")
-    m_p, _ = infer_mc(to_device(dg_p), dg_p.w_init, key, 20, 200, info_p, 4)
+    m_b, _ = infer_mc(to_device(dg_b), dg_b.w_init, key, 20, 200, info_b, 4,
+                      modes=(mode, "off"))
+    m_p, _ = infer_mc(to_device(dg_p), dg_p.w_init, key, 20, 200, info_p, 4,
+                      modes=("off", "off"))
     np.testing.assert_allclose(np.asarray(m_b), np.asarray(m_p), atol=1e-6)

@@ -86,3 +86,61 @@ def test_results_output(tmp_path):
     lines = open(wp).read().splitlines()
     assert len(lines) == g.n_weights
     assert float(lines[0].split()[1]) == pytest.approx(g.w_init[0])
+
+
+def cw_equal(a: FactorGraph, b: FactorGraph):
+    graphs_equal(a, b)
+    if a.cw_fid is None:
+        assert b.cw_fid is None or len(b.cw_fid) == 0
+        return
+    np.testing.assert_array_equal(a.cw_fid, b.cw_fid)
+    np.testing.assert_array_equal(a.cw_cats, b.cw_cats)
+    np.testing.assert_array_equal(a.cw_wid, b.cw_wid)
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_old_format_round_trip(name, tmp_path):
+    """OLD two-file revision (separate edges file — SURVEY.md §2a): a
+    non-empty edges entry in the meta CSV must select the old parser; the
+    loaded graph is identical to the new-format load."""
+    g = getattr(fixtures, name)()
+    meta = binary.write_graph(g, str(tmp_path), old_format=True)
+    counts, files = binary.read_meta(meta)
+    assert files["edges"]
+    graphs_equal(g, binary.load_graph(meta))
+
+
+def test_old_format_edge_order_independent(tmp_path):
+    """Old-format edges may arrive in ANY file order; (fid, position)
+    determine placement."""
+    g = fixtures.mixed_graph()
+    meta = binary.write_graph(g, str(tmp_path), old_format=True)
+    _, files = binary.read_meta(meta)
+    path = str(tmp_path / "graph.edges")
+    rec = np.fromfile(path, fs.EDGE_RECORD)
+    rng = np.random.default_rng(0)
+    rec[rng.permutation(len(rec))].tofile(path)
+    graphs_equal(g, binary.load_graph(meta))
+
+
+def test_old_format_bad_edge_count_fails_loudly(tmp_path):
+    g = fixtures.mixed_graph()
+    meta = binary.write_graph(g, str(tmp_path), old_format=True)
+    path = str(tmp_path / "graph.edges")
+    rec = np.fromfile(path, fs.EDGE_RECORD)
+    rec[:-1].tofile(path)
+    with pytest.raises(ValueError, match="edges file"):
+        binary.load_graph(meta)
+
+
+def test_comb_weights_round_trip(tmp_path):
+    """Sparse per-combination weights survive write_graph/load_graph."""
+    g = fixtures.sparse_categorical_graph()
+    meta = binary.write_graph(g, str(tmp_path))
+    cw_equal(g, binary.load_graph(meta))
+
+
+def test_comb_weights_old_format_round_trip(tmp_path):
+    g = fixtures.sparse_categorical_graph(seed=1)
+    meta = binary.write_graph(g, str(tmp_path), old_format=True)
+    cw_equal(g, binary.load_graph(meta))
