@@ -42,6 +42,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def out_vma(*xs) -> frozenset:
+    """Union of the operands' varying-mesh-axes — pallas_call out_shapes
+    must declare how their output varies when traced inside a shard_map
+    with vma checking on (the output varies wherever any input does)."""
+    import jax
+
+    vma = frozenset()
+    for x in xs:
+        vma |= getattr(jax.typeof(x), "vma", frozenset()) or frozenset()
+    return vma
+
+
 def plan_banding(cs_nbr: np.ndarray, P: int, tb: int, w_max: int = 8192):
     """Window analysis.  cs_nbr: int32 [C, B, D, A1] neighbor positions with
     out-of-graph slots pointing at the dummy position P-1.
@@ -157,7 +169,8 @@ def banded_gather_pallas(values, nbr, starts, W: int, interpret: bool = False):
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ntiles * R, NC), values.dtype),
+        out_shape=jax.ShapeDtypeStruct((ntiles * R, NC), values.dtype,
+                                       vma=out_vma(values, nbr, starts)),
         cost_estimate=pl.CostEstimate(
             flops=flops, transcendentals=0,
             bytes_accessed=int(ntiles * (R * 4 + W * NC + R * NC))),

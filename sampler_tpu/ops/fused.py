@@ -262,10 +262,14 @@ def fused_color_draw(values, nbr_dmaj, starts, beta, base, seed,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    from .banded import out_vma
+
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ntiles * TB, NC), values.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (ntiles * TB, NC), values.dtype,
+            vma=out_vma(values, nbr_dmaj, starts, beta, base, seed)),
         cost_estimate=pl.CostEstimate(
             flops=2 * ntiles * TB * W * NC * (2 if split_bf16 else 1),
             transcendentals=ntiles * TB * NC,

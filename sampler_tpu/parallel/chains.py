@@ -40,17 +40,19 @@ def chains_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 def infer_sharded(dg, weights, key, n_burn: int, n_sweeps: int, info,
                   mesh: Mesh, chains_per_device: int,
-                  sample_evidence: bool = False):
+                  sample_evidence: bool = False, modes=None):
     """Sharded multi-chain inference.
 
     Returns (marginals [V, K] float32 — replicated, values [P, NC_total]).
     """
     n_dev = mesh.devices.size
     # resolved OUTSIDE the traced region; NC here is chains per device
-    modes = demote_modes(resolve_modes(info), chains_per_device)
+    if modes is None:
+        modes = resolve_modes(info)
+    modes = demote_modes(modes, chains_per_device)
 
     @partial(
-        jax.shard_map, mesh=mesh,
+        jax.shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(), P(), P("chains")),
         out_specs=(P(None, "chains"), P()),
     )
@@ -84,7 +86,7 @@ def _learn_step_fn(cfg, info, mesh: Mesh, modes):
     executable instead of re-tracing the shard_map every call."""
 
     @partial(
-        jax.shard_map, mesh=mesh,
+        jax.shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(), P(), P(None, "chains"), P(None, "chains"), P("chains"),
                   P()),
         out_specs=(P(), P(None, "chains"), P(None, "chains")),
@@ -109,7 +111,7 @@ def _learn_step_fn(cfg, info, mesh: Mesh, modes):
 
 
 def learn_step_sharded(dg, weights, v_ev, v_free, key, alpha, cfg, info,
-                       mesh: Mesh):
+                       mesh: Mesh, modes=None):
     """One data-parallel learning step (compiled once per (cfg, info, mesh)).
 
     v_ev/v_free: [P, NC_local] per device (sharded on chain axis).
@@ -117,9 +119,10 @@ def learn_step_sharded(dg, weights, v_ev, v_free, key, alpha, cfg, info,
     """
     n_dev = mesh.devices.size
     keys = jax.random.split(key, n_dev)
+    if modes is None:
+        modes = resolve_modes(info)
     step = _learn_step_fn(cfg, info, mesh,
-                          demote_modes(resolve_modes(info),
-                                       v_ev.shape[-1] // n_dev))
+                          demote_modes(modes, v_ev.shape[-1] // n_dev))
     return step(dg, weights, v_ev, v_free, keys, alpha)
 
 

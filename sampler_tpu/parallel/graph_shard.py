@@ -95,7 +95,7 @@ def shard_device_graph(dg, mesh: Mesh):
 
 def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
              mesh: Mesh, chains_per_device: int,
-             sample_evidence: bool = False):
+             sample_evidence: bool = False, modes=None):
     """Inference on a ("chains", "graph") mesh.
 
     Streams sharded over graph; values replicated per device with
@@ -108,7 +108,9 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
     n_chains_ax = mesh.shape["chains"]
     n_graph = mesh.shape["graph"]
     # resolved OUTSIDE the traced region; NC here is chains per device
-    modes = demote_modes(resolve_modes(info), chains_per_device)
+    if modes is None:
+        modes = resolve_modes(info)
+    modes = demote_modes(modes, chains_per_device)
     B = dg.cs_mask.shape[1]
     if B % n_graph:
         raise ValueError(
@@ -125,7 +127,7 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
     dg_spec = type(dg)(*(cs_spec[n] for n in dg._fields))
 
     @partial(
-        jax.shard_map, mesh=mesh,
+        jax.shard_map, mesh=mesh, check_vma=False,
         in_specs=(dg_spec, P(), P("chains")),
         out_specs=P(),
     )
