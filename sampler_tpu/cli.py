@@ -56,6 +56,16 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--platform", choices=["cpu", "tpu"], default=None,
                    help="force a JAX platform (the axon TPU plugin ignores "
                         "JAX_PLATFORMS, so use this flag)")
+    g.add_argument("--checkpoint", default=None,
+                   help="checkpoint file (default <outdir>/checkpoint.npz "
+                        "when --checkpoint_every is set)")
+    g.add_argument("--checkpoint_every", type=int, default=0,
+                   help="snapshot sampler state every N sweeps (inference/"
+                        "burn-in) or N epochs (learning); 0 = off")
+    g.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint if it exists")
+    g.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the run to DIR")
     g.add_argument("--quiet", "-q", action="store_true")
 
     for name in ("text2bin", "bin2text"):
@@ -76,8 +86,6 @@ def cmd_gibbs(args) -> int:
                           "cpu" if args.platform == "cpu" else "axon")
 
     from .compile import compile_graph, to_device
-    from .engine.gibbs import infer, init_values, run_sweeps
-    from .engine.learn import LearnConfig, learn
     from .io import binary, results
 
     log = (lambda *a: None) if args.quiet else (lambda *a: print(*a, flush=True))
@@ -103,38 +111,34 @@ def cmd_gibbs(args) -> int:
     if args.n_threads:
         n_chains = max(n_chains, args.n_threads)
 
-    if args.n_learning_epoch > 0:
-        t0 = time.time()
-        cfg = LearnConfig(
-            n_epochs=args.n_learning_epoch,
-            n_sweeps_per_epoch=args.n_samples_per_learning_epoch,
-            stepsize=args.alpha,
-            diminish=args.diminish,
-            regularization=args.regularization or "none",
-            reg_param=args.reg_param,
-            learn_non_evidence=args.learn_non_evidence,
-        )
-        if n_chains > 1:
-            from .engine.multichain import learn_mc
-            weights, _, _ = learn_mc(dgj, weights, k_learn, cfg, info,
-                                     n_chains)
-        else:
-            weights, _, _ = learn(dgj, weights, k_learn, cfg, info)
-        weights.block_until_ready()
-        dt = time.time() - t0
-        sweeps = args.n_learning_epoch * cfg.n_sweeps_per_epoch
-        log(f"learning: {sweeps} sweeps in {dt:.2f}s "
-            f"({sweeps * graph.n_vars / max(dt, 1e-9):.3g} vars/s)")
+    every = args.checkpoint_every
+    ckpt_path = args.checkpoint
+    if every and not ckpt_path:
+        os.makedirs(args.outdir, exist_ok=True)
+        ckpt_path = os.path.join(args.outdir, "checkpoint.npz")
+    state = None
+    if args.resume and ckpt_path and os.path.exists(ckpt_path):
+        from . import checkpoint
+        state = checkpoint.load(ckpt_path)
+        sig = dict(n_vars=info.n_vars, n_factors=info.n_factors,
+                   seed=args.seed, n_chains=n_chains)
+        if {k: state.meta.get(k) for k in sig} != sig:
+            raise SystemExit(
+                f"checkpoint {ckpt_path} was written by a different run "
+                f"(meta {state.meta} vs {sig})")
+        log(f"resuming from {ckpt_path}: phase={state.meta.get('phase')} "
+            f"epoch={state.epoch} sweep={state.sweep}")
 
-    t0 = time.time()
-    marg, _ = infer(dgj, weights, k_inf, n_burn=args.burn_in,
-                    n_sweeps=args.n_inference_epoch, info=info,
-                    sample_evidence=args.sample_evidence, n_chains=n_chains)
-    marg = np.asarray(jax.block_until_ready(marg))
-    dt = time.time() - t0
-    total = (args.burn_in + args.n_inference_epoch) * graph.n_vars * n_chains
-    log(f"inference: {args.n_inference_epoch} sweeps x {n_chains} chains in "
-        f"{dt:.2f}s ({total / max(dt, 1e-9):.3g} vars/s)")
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+    try:
+        weights, marg = _run_gibbs_phases(
+            args, log, graph, dgj, info, weights, k_learn, k_inf, n_chains,
+            every, ckpt_path, state)
+    finally:
+        if args.profile:
+            jax.profiler.stop_trace()
+            log(f"profiler trace written to {args.profile}")
 
     os.makedirs(args.outdir, exist_ok=True)
     results.write_marginals(graph, marg,
@@ -145,6 +149,146 @@ def cmd_gibbs(args) -> int:
                                            "inference_result.out.weights.text"))
     log(f"wrote {args.outdir}/inference_result.out.text")
     return 0
+
+
+_fault_counter = [0]
+
+
+def _fault_hook():
+    """Fault injection for preemption-recovery tests (SURVEY.md §5.3): hard-
+    kill the process after N checkpoint saves when SAMPLER_TPU_FAULT_AFTER=N
+    — simulates a pod preemption landing between scan boundaries."""
+    n = os.environ.get("SAMPLER_TPU_FAULT_AFTER")
+    if not n:
+        return
+    _fault_counter[0] += 1
+    if _fault_counter[0] >= int(n):
+        sys.stderr.write("FAULT INJECTED: exiting after "
+                         f"{_fault_counter[0]} checkpoint saves\n")
+        sys.stderr.flush()
+        os._exit(3)
+
+
+def _run_gibbs_phases(args, log, graph, dgj, info, weights, k_learn, k_inf,
+                      n_chains, every, ckpt_path, state):
+    """learn → burn-in → inference, each phase chunked at checkpoint
+    granularity when --checkpoint_every is set.  Chunk keys are folded from
+    the ABSOLUTE epoch/sweep index, so a resumed run replays exactly the
+    RNG stream an uninterrupted (checkpointed) run would use."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from . import checkpoint
+    from .engine.gibbs import infer
+    from .engine.learn import LearnConfig, learn
+    from .engine.multichain import (demote_modes, init_values_mc, learn_mc,
+                                    resolve_modes, run_inference_mc,
+                                    run_sweeps_mc)
+
+    meta = dict(n_vars=info.n_vars, n_factors=info.n_factors,
+                seed=args.seed, n_chains=n_chains)
+
+    def save(phase, values, counts=None, sweep=0, epoch=0, w=None):
+        checkpoint.save(checkpoint.SamplerState(
+            values=np.asarray(values), weights=np.asarray(w),
+            rng_key=np.asarray(k_inf), counts=counts, sweep=sweep,
+            epoch=epoch, meta={**meta, "phase": phase}), ckpt_path)
+        _fault_hook()
+
+    # ---- learning ----------------------------------------------------
+    n_epochs = args.n_learning_epoch
+    epochs_done, v_ev, v_free = 0, None, None
+    if state is not None and state.meta.get("phase") == "learn":
+        epochs_done = state.epoch
+        weights = jnp.asarray(state.weights)
+        v_ev = jnp.asarray(state.values[0])
+        v_free = jnp.asarray(state.values[1])
+        state = None
+    elif state is not None:           # burn/infer phase: learning finished
+        epochs_done = n_epochs
+        weights = jnp.asarray(state.weights)
+
+    if n_epochs > 0 and epochs_done < n_epochs:
+        t0 = time.time()
+        cfg = LearnConfig(
+            n_epochs=n_epochs,
+            n_sweeps_per_epoch=args.n_samples_per_learning_epoch,
+            stepsize=args.alpha,
+            diminish=args.diminish,
+            regularization=args.regularization or "none",
+            reg_param=args.reg_param,
+            learn_non_evidence=args.learn_non_evidence,
+        )
+        while epochs_done < n_epochs:
+            chunk = (min(every, n_epochs - epochs_done) if every
+                     else n_epochs - epochs_done)
+            ccfg = dataclasses.replace(cfg, n_epochs=chunk)
+            kc = jax.random.fold_in(k_learn, epochs_done)
+            if n_chains > 1 or every:
+                alpha = cfg.stepsize * (cfg.diminish ** epochs_done)
+                weights, v_ev, v_free = learn_mc(
+                    dgj, weights, kc, ccfg, info, n_chains,
+                    v_ev=v_ev, v_free=v_free, alpha=alpha)
+            else:
+                weights, _, _ = learn(dgj, weights, kc, ccfg, info)
+            epochs_done += chunk
+            if every and ckpt_path:
+                save("learn", np.stack([np.asarray(v_ev),
+                                        np.asarray(v_free)]),
+                     epoch=epochs_done, w=weights)
+        weights.block_until_ready()
+        dt = time.time() - t0
+        sweeps = n_epochs * cfg.n_sweeps_per_epoch
+        log(f"learning: {sweeps} sweeps in {dt:.2f}s "
+            f"({sweeps * graph.n_vars / max(dt, 1e-9):.3g} vars/s)")
+
+    # ---- burn-in + inference ------------------------------------------
+    t0 = time.time()
+    n_burn, n_inf = args.burn_in, args.n_inference_epoch
+    if not every:
+        marg, _ = infer(dgj, weights, k_inf, n_burn=n_burn, n_sweeps=n_inf,
+                        info=info, sample_evidence=args.sample_evidence,
+                        n_chains=n_chains)
+        marg = np.asarray(jax.block_until_ready(marg))
+    else:
+        modes = demote_modes(resolve_modes(info), n_chains)
+        k_init, k_burn, k_run = jax.random.split(k_inf, 3)
+        P, K = dgj.var_card.shape[0], info.max_card
+        burn_done, inf_done = 0, 0
+        counts = np.zeros((P, K), np.int64)
+        if state is not None and state.meta.get("phase") == "burn":
+            values = jnp.asarray(state.values)
+            burn_done = state.sweep
+        elif state is not None and state.meta.get("phase") == "infer":
+            values = jnp.asarray(state.values)
+            burn_done, inf_done = n_burn, state.sweep
+            counts = state.counts.astype(np.int64)
+        else:
+            values = init_values_mc(dgj, k_init, n_chains, info)
+        while burn_done < n_burn:
+            chunk = min(every, n_burn - burn_done)
+            values = run_sweeps_mc(dgj, values, weights,
+                                   jax.random.fold_in(k_burn, burn_done),
+                                   chunk, args.sample_evidence, info, modes)
+            burn_done += chunk
+            save("burn", values, sweep=burn_done, w=weights)
+        while inf_done < n_inf:
+            chunk = min(every, n_inf - inf_done)
+            values, cts = run_inference_mc(
+                dgj, values, weights, jax.random.fold_in(k_run, inf_done),
+                chunk, args.sample_evidence, info, modes)
+            counts += np.asarray(cts, np.int64)
+            inf_done += chunk
+            save("infer", values, counts=counts, sweep=inf_done, w=weights)
+        marg = (counts[np.asarray(dgj.pos_of_vid)]
+                / float(n_inf * n_chains)).astype(np.float32)
+    dt = time.time() - t0
+    total = (n_burn + n_inf) * graph.n_vars * n_chains
+    log(f"inference: {n_inf} sweeps x {n_chains} chains in "
+        f"{dt:.2f}s ({total / max(dt, 1e-9):.3g} vars/s)")
+    return weights, marg
 
 
 def cmd_text2bin(args) -> int:

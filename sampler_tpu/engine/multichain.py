@@ -470,16 +470,16 @@ def mc_weight_gradient(dg, v_ev, v_free, learn_non_evidence: bool, info):
     return grad
 
 
-@partial(jax.jit, static_argnames=("cfg", "info", "n_chains", "modes"))
-def _learn_mc(dg, weights, key, cfg, info, n_chains: int, modes):
-    """Multi-chain contrastive SGD: NC evidence worlds + NC free worlds,
-    chain-averaged gradients (a mini-batch over worlds).  Same update rule
-    and fixed points as engine.learn (SURVEY.md §2c)."""
+@partial(jax.jit, static_argnames=("cfg", "info", "modes"))
+def _learn_mc_from(dg, weights, v_ev, v_free, alpha, key, cfg, info, modes):
+    """Multi-chain contrastive SGD from EXPLICIT initial worlds + stepsize:
+    NC evidence worlds + NC free worlds, chain-averaged gradients (a
+    mini-batch over worlds).  Same update rule and fixed points as
+    engine.learn (SURVEY.md §2c).  Taking the worlds as arguments makes
+    epoch-granularity checkpoint/resume a chunked sequence of these calls."""
     from .learn import apply_update
 
-    k0, k1, kscan = jax.random.split(key, 3)
-    v_ev = init_values_mc(dg, k0, n_chains, info)
-    v_free = init_values_mc(dg, k1, n_chains, info)
+    kscan = key
 
     def epoch(carry, i):
         w, v_ev, v_free, alpha = carry
@@ -504,17 +504,29 @@ def _learn_mc(dg, weights, key, cfg, info, n_chains: int, modes):
         return (w, v_ev, v_free, alpha * cfg.diminish), None
 
     init = (jnp.asarray(weights, jnp.float32), v_ev, v_free,
-            jnp.float32(cfg.stepsize))
-    (w, v_ev, v_free, _), _ = jax.lax.scan(epoch, init,
-                                           jnp.arange(cfg.n_epochs))
-    return w, v_ev, v_free
+            jnp.asarray(alpha, jnp.float32))
+    (w, v_ev, v_free, alpha), _ = jax.lax.scan(epoch, init,
+                                               jnp.arange(cfg.n_epochs))
+    return w, v_ev, v_free, alpha
 
 
-def learn_mc(dg, weights, key, cfg, info, n_chains: int, modes=None):
+def learn_mc(dg, weights, key, cfg, info, n_chains: int, modes=None,
+             v_ev=None, v_free=None, alpha=None):
+    """Multi-chain learning; pass (v_ev, v_free, alpha) to continue a
+    checkpointed run instead of initializing fresh worlds."""
     if modes is None:
         modes = resolve_modes(info)
     modes = demote_modes(modes, n_chains)
-    return _learn_mc(dg, weights, key, cfg, info, n_chains, modes)
+    k0, k1, kscan = jax.random.split(key, 3)
+    if v_ev is None:
+        v_ev = init_values_mc(dg, k0, n_chains, info)
+    if v_free is None:
+        v_free = init_values_mc(dg, k1, n_chains, info)
+    if alpha is None:
+        alpha = cfg.stepsize
+    w, v_ev, v_free, _ = _learn_mc_from(dg, weights, v_ev, v_free, alpha,
+                                        kscan, cfg, info, modes)
+    return w, v_ev, v_free
 
 
 def infer_mc(dg, weights, key, n_burn: int, n_sweeps: int, info,

@@ -63,6 +63,62 @@ def test_gibbs_learning_end_to_end(tmp_path):
     assert w == pytest.approx(w_star, abs=0.2)
 
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _dw_subprocess(args, env_extra=None):
+    """Run the CLI in a real subprocess (the fault hook os._exit's)."""
+    env = dict(os.environ,
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+               **(env_extra or {}))
+    return subprocess.run(
+        [sys.executable, "-m", "sampler_tpu.cli"] + args,
+        env=env, cwd=REPO, capture_output=True, text=True)
+
+
+def test_checkpoint_kill_and_resume_cli(tmp_path):
+    """Preemption recovery (SURVEY.md §5.3/5.4): a run killed mid-flight by
+    the fault-injection hook and then --resume'd must write EXACTLY the
+    marginals and weights of an uninterrupted run with the same
+    --checkpoint_every — chunk keys are folded from absolute indices, so
+    the RNG stream replays identically across the kill."""
+    g = fixtures.labeled_coin_graph(n_flips=60, p_heads=0.75, seed=7)
+    binary.write_graph(g, str(tmp_path))
+    base = [
+        "gibbs", "--platform", "cpu",
+        "-w", str(tmp_path / "graph.weights"),
+        "-v", str(tmp_path / "graph.variables"),
+        "-f", str(tmp_path / "graph.factors"),
+        "-m", str(tmp_path / "graph.meta"),
+        "-l", "4", "-a", "0.05", "-b", "100", "-i", "200",
+        "--n_chains", "4", "--checkpoint_every", "50", "--quiet",
+    ]
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+
+    # uninterrupted checkpointed run + a profiler trace
+    prof = str(tmp_path / "prof")
+    r = _dw_subprocess(base + ["-o", out_a, "--profile", prof])
+    assert r.returncode == 0, r.stderr
+    assert os.path.isdir(os.path.join(prof, "plugins", "profile"))
+
+    # killed after 5 checkpoint saves (inside the inference phase:
+    # 2 learn saves + 2 burn saves + 1 infer save), then resumed
+    r = _dw_subprocess(base + ["-o", out_b],
+                       env_extra={"SAMPLER_TPU_FAULT_AFTER": "5"})
+    assert r.returncode == 3, (r.returncode, r.stderr)
+    assert os.path.exists(os.path.join(out_b, "checkpoint.npz"))
+    assert not os.path.exists(os.path.join(out_b,
+                                           "inference_result.out.text"))
+    r = _dw_subprocess(base + ["-o", out_b, "--resume"])
+    assert r.returncode == 0, r.stderr
+
+    for fname in ["inference_result.out.text",
+                  "inference_result.out.weights.text"]:
+        a = open(os.path.join(out_a, fname)).read()
+        b = open(os.path.join(out_b, fname)).read()
+        assert a == b, f"{fname} differs after kill+resume"
+
+
 def test_text2bin_bin2text_round_trip(tmp_path):
     from sampler_tpu.io import text
     g = fixtures.mixed_graph()
