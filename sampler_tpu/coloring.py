@@ -14,35 +14,37 @@ import numpy as np
 from .graph import FactorGraph
 
 
+def factor_member_pairs(graph: FactorGraph):
+    """All ordered (v, u) pairs of DISTINCT co-member variables, vectorized
+    per arity bucket (the Python-per-factor loop this replaces dominated
+    compile time on large graphs — VERDICT.md r1 weak #7)."""
+    arity = graph.arities()
+    src_parts, dst_parts = [], []
+    for a in np.unique(arity):
+        a = int(a)
+        if a < 2:
+            continue
+        fa = np.nonzero(arity == a)[0]
+        mem = graph.e_vid[graph.f_ptr[fa][:, None]
+                          + np.arange(a)[None, :]]          # [Fa, a]
+        i, j = np.nonzero(~np.eye(a, dtype=bool))
+        src_parts.append(mem[:, i].ravel())
+        dst_parts.append(mem[:, j].ravel())
+    if not src_parts:
+        z = np.empty(0, np.int64)
+        return z, z
+    src = np.concatenate(src_parts).astype(np.int64)
+    dst = np.concatenate(dst_parts).astype(np.int64)
+    keep = src != dst        # a factor may mention one variable twice
+    return src[keep], dst[keep]
+
+
 def variable_adjacency(graph: FactorGraph):
     """CSR adjacency (indptr, indices) over variables via shared factors."""
-    arity = graph.arities()
-    # pair counts: each edge's variable is adjacent to the other arity-1
-    # members of its factor
-    deg_bound = np.zeros(graph.n_vars, np.int64)
-    np.add.at(deg_bound, graph.e_vid, np.repeat(arity - 1, arity))
-    indptr = np.zeros(graph.n_vars + 1, np.int64)
-    np.cumsum(deg_bound, out=indptr[1:])
-    indices = np.empty(indptr[-1], np.int64)
-    cursor = indptr[:-1].copy()
-    for f in range(graph.n_factors):
-        members = graph.e_vid[graph.f_ptr[f]:graph.f_ptr[f + 1]]
-        for v in members:
-            others = members[members != v]
-            k = len(members) - 1
-            # duplicated vids inside one factor shrink the slice; clip
-            m = min(k, len(others))
-            indices[cursor[v]:cursor[v] + m] = others[:m]
-            cursor[v] += m
-    # trim unused slots from duplicate-member factors
-    if (cursor < indptr[1:]).any():
-        keep = np.ones(len(indices), bool)
-        for v in range(graph.n_vars):
-            keep[cursor[v]:indptr[v + 1]] = False
-        indices = indices[keep]
-        new_ptr = np.zeros_like(indptr)
-        np.cumsum(cursor - indptr[:-1], out=new_ptr[1:])
-        indptr = new_ptr
+    src, dst = factor_member_pairs(graph)
+    order = np.argsort(src, kind="stable")
+    src, indices = src[order], dst[order]
+    indptr = np.searchsorted(src, np.arange(graph.n_vars + 1))
     return indptr, indices
 
 
@@ -81,8 +83,10 @@ def greedy_coloring(graph: FactorGraph) -> np.ndarray:
 
 def validate_coloring(graph: FactorGraph, colors: np.ndarray) -> None:
     """Raise if any factor has two distinct members with equal colors."""
-    for f in range(graph.n_factors):
-        members = graph.e_vid[graph.f_ptr[f]:graph.f_ptr[f + 1]]
-        uniq = np.unique(members)
-        if len(np.unique(colors[uniq])) != len(uniq):
-            raise AssertionError(f"factor {f} has same-colored members")
+    src, dst = factor_member_pairs(graph)
+    bad = colors[src] == colors[dst]
+    if bad.any():
+        v, u = int(src[bad][0]), int(dst[bad][0])
+        raise AssertionError(
+            f"{int(bad.sum())} same-colored adjacent pairs "
+            f"(e.g. variables {v} and {u}, color {int(colors[v])})")

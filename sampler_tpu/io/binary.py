@@ -266,16 +266,60 @@ def read_comb_weights(path: str, arity: np.ndarray):
     return (np.asarray(fid, np.int64), cats_arr, np.asarray(wid, np.int32))
 
 
+def read_domains_flat(path: str):
+    """Domains file → flat arrays (d_vid [N], d_card [N], d_sparse [ΣK]).
+
+    The whole file is one big-endian i64 stream: per record
+    (vid, card, card × categoryValue).  Record starts form a sequential
+    chain (each start depends on the previous card), so a minimal-body
+    Python scan finds them; everything else is vectorized numpy — the
+    per-variable frombuffer/dict loop this replaces dominated categorical
+    load time (VERDICT.md r1 weak #7)."""
+    arr = np.fromfile(path, fs.BE_I64).astype(np.int64)
+    starts = []
+    p, total = 0, len(arr)
+    while p < total:
+        starts.append(p)
+        p += 2 + int(arr[p + 1])
+    if p != total:
+        raise ValueError(f"domains file truncated at word {p}/{total}")
+    starts = np.asarray(starts, np.int64)
+    d_vid = arr[starts]
+    d_card = arr[starts + 1]
+    mask = np.ones(total, bool)
+    mask[starts] = False
+    mask[starts + 1] = False
+    return d_vid, d_card, arr[mask]
+
+
 def read_domains(path: str) -> Dict[int, np.ndarray]:
-    buf = memoryview(open(path, "rb").read())
-    pos, total = 0, len(buf)
-    domains: Dict[int, np.ndarray] = {}
-    while pos < total:
-        vid = int(np.frombuffer(buf, fs.BE_I64, 1, pos)[0]); pos += 8
-        card = int(np.frombuffer(buf, fs.BE_I64, 1, pos)[0]); pos += 8
-        domains[vid] = np.frombuffer(buf, fs.BE_I64, card, pos).astype(np.int64)
-        pos += 8 * card
-    return domains
+    d_vid, d_card, d_sparse = read_domains_flat(path)
+    splits = np.split(d_sparse, np.cumsum(d_card)[:-1])
+    return {int(v): s for v, s in zip(d_vid, splits)}
+
+
+def _sparse_to_dense_bulk(d_vid, d_card, d_sparse, q_vid, q_sval):
+    """Vectorized (vid, sparseValue) → dense index translation.
+
+    Pairs with no domain entry keep their original value (matching the
+    old per-edge ``lut.get(s, s)`` semantics)."""
+    if len(q_vid) == 0:
+        return np.asarray(q_sval, np.int64)
+    d_vidrep = np.repeat(d_vid, d_card)
+    total = len(d_sparse)
+    offs = np.concatenate([[0], np.cumsum(d_card)[:-1]])
+    d_dense = np.arange(total, dtype=np.int64) - np.repeat(offs, d_card)
+    # composite 1-D key: rank the sparse values so vid*R + rank can't collide
+    us = np.unique(np.concatenate([d_sparse, q_sval]))
+    R = len(us)
+    key_d = d_vidrep * R + np.searchsorted(us, d_sparse)
+    key_q = np.asarray(q_vid, np.int64) * R + np.searchsorted(us, q_sval)
+    order = np.argsort(key_d, kind="stable")
+    kd, dd = key_d[order], d_dense[order]
+    pos = np.searchsorted(kd, key_q)
+    pos_c = np.minimum(pos, len(kd) - 1)
+    hit = kd[pos_c] == key_q
+    return np.where(hit, dd[pos_c], np.asarray(q_sval, np.int64))
 
 
 def read_meta(path: str):
@@ -306,19 +350,21 @@ def load_graph(meta_path: str, domains_path: Optional[str] = None) -> FactorGrap
             rel(files["factors"]))
 
     domains = None
+    dflat = None
     if domains_path and os.path.exists(domains_path):
-        domains = read_domains(domains_path)
+        dflat = read_domains_flat(domains_path)
+        d_vid, d_card, d_sparse = dflat
+        splits = np.split(d_sparse, np.cumsum(d_card)[:-1])
+        domains = {int(v): s for v, s in zip(d_vid, splits)}
 
-    # translate sparse category values → dense indices
+    # translate sparse category values → dense indices (vectorized)
     var_init = init_sparse.astype(np.int64).copy()
     e_eqpred = e_eq.copy()
-    if domains:
-        for vid, values in domains.items():
-            lut = {int(s): d for d, s in enumerate(values)}
-            var_init[vid] = lut.get(int(var_init[vid]), int(var_init[vid]))
-            on_v = e_vid == vid
-            if on_v.any():
-                e_eqpred[on_v] = [lut.get(int(s), int(s)) for s in e_eq[on_v]]
+    if dflat:
+        var_init[d_vid] = _sparse_to_dense_bulk(*dflat, d_vid,
+                                                var_init[d_vid])
+        e_eqpred = _sparse_to_dense_bulk(*dflat, e_vid.astype(np.int64),
+                                         e_eq)
 
     # optional sparse per-combination weights (sibling .cweights file)
     cw = {}
@@ -327,16 +373,14 @@ def load_graph(meta_path: str, domains_path: Optional[str] = None) -> FactorGrap
         arity = np.diff(f_ptr)
         cw_fid, cw_cats_sp, cw_wid = read_comb_weights(cw_path, arity)
         cw_cats = cw_cats_sp.copy()
-        if domains:
-            for e in range(len(cw_fid)):
-                lo = int(f_ptr[cw_fid[e]])
-                for j in range(int(arity[cw_fid[e]])):
-                    vid = int(e_vid[lo + j])
-                    if vid in domains:
-                        lut = {int(s): d
-                               for d, s in enumerate(domains[vid])}
-                        cw_cats[e, j] = lut.get(int(cw_cats[e, j]),
-                                                int(cw_cats[e, j]))
+        if dflat:
+            Amax = cw_cats.shape[1]
+            slot = f_ptr[cw_fid][:, None] + np.arange(Amax)[None, :]
+            valid = np.arange(Amax)[None, :] < arity[cw_fid][:, None]
+            slot_vid = e_vid[np.minimum(slot, len(e_vid) - 1)]
+            tr = _sparse_to_dense_bulk(
+                *dflat, slot_vid[valid].astype(np.int64), cw_cats[valid])
+            cw_cats[valid] = tr
         cw = dict(cw_fid=cw_fid, cw_cats=cw_cats.astype(np.int32),
                   cw_wid=cw_wid)
 
