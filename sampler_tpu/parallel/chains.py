@@ -38,18 +38,17 @@ def chains_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("chains",))
 
 
-def infer_sharded(dg, weights, key, n_burn: int, n_sweeps: int, info,
-                  mesh: Mesh, chains_per_device: int,
-                  sample_evidence: bool = False, modes=None):
-    """Sharded multi-chain inference.
+from functools import lru_cache
 
-    Returns (marginals [V, K] float32 — replicated, values [P, NC_total]).
-    """
-    n_dev = mesh.devices.size
-    # resolved OUTSIDE the traced region; NC here is chains per device
-    if modes is None:
-        modes = resolve_modes(info)
-    modes = demote_modes(modes, chains_per_device)
+
+@lru_cache(maxsize=64)
+def _infer_fn(info, mesh: Mesh, modes, n_burn: int, n_sweeps: int,
+              chains_per_device: int, sample_evidence: bool):
+    """Build (and cache) the jitted sharded inference program.
+
+    Shared by the single-process path (infer_sharded) and the multi-host
+    path (parallel/multihost.py), which differ only in how the global input
+    arrays are placed."""
 
     @partial(
         jax.shard_map, mesh=mesh, check_vma=False,
@@ -68,14 +67,29 @@ def infer_sharded(dg, weights, key, n_burn: int, n_sweeps: int, info,
         counts = jax.lax.psum(counts, "chains")   # pool tallies over ICI
         return vals, counts
 
+    return jax.jit(run)
+
+
+def infer_sharded(dg, weights, key, n_burn: int, n_sweeps: int, info,
+                  mesh: Mesh, chains_per_device: int,
+                  sample_evidence: bool = False, modes=None):
+    """Sharded multi-chain inference.
+
+    Returns (marginals [V, K] float32 — replicated, values [P, NC_total]).
+    """
+    n_dev = mesh.devices.size
+    # resolved OUTSIDE the traced region; NC here is chains per device
+    if modes is None:
+        modes = resolve_modes(info)
+    modes = demote_modes(modes, chains_per_device)
+
+    run = _infer_fn(info, mesh, modes, n_burn, n_sweeps, chains_per_device,
+                    sample_evidence)
     keys = jax.random.split(key, n_dev)
     values, counts = run(dg, weights, keys)
     marg = counts[dg.pos_of_vid].astype(jnp.float32) / jnp.float32(
         n_sweeps * chains_per_device * n_dev)
     return marg, values
-
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=64)
