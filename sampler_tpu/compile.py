@@ -83,6 +83,11 @@ class DeviceGraph(NamedTuple):
     # banded-gather plan (ops/banded.py): per-tile window starts; [C, 1]
     # zeros when banding is off (CompileInfo.band_w == 0)
     bd_start: np.ndarray   # int32 [C, ntiles]
+    # TRUE per-tile read bounds [lo, hi) over cs_nbr (dummy excluded;
+    # empty tile -> lo=P, hi=0) — tighter than the padded/aligned windows;
+    # parallel/graph_shard.py derives the halo-exchange plan from these
+    bd_lo: np.ndarray      # int32 [C, ntiles] ([C, 1] when banding off)
+    bd_hi: np.ndarray      # int32 [C, ntiles] (exclusive)
     # fused affine color step (ops/fused.py; CompileInfo.affine2):
     bd_nbr: np.ndarray     # int32 [C, ntiles, 1, D*TB] neighbor positions,
                            #       d-major within tile ([C,1,1,1] when off)
@@ -305,6 +310,15 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
                         if try_band else (None, 0))
     if bd_start is None:
         bd_start, band_w = np.zeros((C, 1), np.int32), 0
+        bd_lo = np.zeros((C, 1), np.int32)
+        bd_hi = np.zeros((C, 1), np.int32)
+    else:
+        ntiles_b = bd_start.shape[1]
+        idx_b = cs_nbr.reshape(C, ntiles_b, -1).astype(np.int64)
+        real_b = idx_b != DUMMY
+        bd_lo = np.where(real_b, idx_b, P).min(axis=-1).astype(np.int32)
+        bd_hi = (np.where(real_b, idx_b, -1).max(axis=-1) + 1).astype(
+            np.int32)
 
     # --- fused affine color-step coefficients (ops/fused.py) ------------
     all_boolean = bool((graph.var_dtype == fs.DTYPE_BOOLEAN).all()
@@ -330,7 +344,8 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
         cs_nbr=cs_nbr, cs_ismine=cs_ismine, cs_hmask=cs_hmask,
         cs_pos=cs_pos, cs_eq=cs_eq, cs_mask=cs_mask,
         cs_type=cs_type, cs_arity=cs_arity, cs_wid=cs_wid, cs_feat=cs_feat,
-        bd_start=bd_start, bd_nbr=bd_nbr, ab_a=ab_a, ab_b=ab_b,
+        bd_start=bd_start, bd_lo=bd_lo, bd_hi=bd_hi,
+        bd_nbr=bd_nbr, ab_a=ab_a, ab_b=ab_b,
         var_card=var_card, var_role=var_role, var_init=var_init,
         cm_card=cm_card, cm_role=cm_role,
         cm_kmask=cm_kmask, cm_resample=cm_resample,

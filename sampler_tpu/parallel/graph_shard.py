@@ -11,10 +11,21 @@ Composes with the ``chains`` axis (parallel/chains.py) on a 2-D mesh
 ("chains", "graph"): values are sharded over chains and replicated over
 graph; streams are sharded over graph and replicated over chains.
 
+HALO EXCHANGE (banded graphs).  When the banding plan exists (band_w > 0),
+every neighbor position a device's tiles ever read is bounded inside the
+per-tile windows [bd_start, bd_start+band_w) — so after color c updates,
+device g does not need the WHOLE updated block, only the slices of it that
+intersect g's read windows.  ``halo_plan`` computes (at shard time, from the
+same bd_start plan the banded gather uses) how many owner-slices to the
+left/right of g's own slice can ever be read; the all_gather then shrinks
+to nl+nr neighbor-shift ``ppermute``s (nearest-neighbor ICI traffic), and
+each device's values copy is kept fresh ONLY where it will be read (stale
+elsewhere — marginal tallies count own rows only and psum disjointly).
+Exchange volume per color step drops from (n_graph-1) to (nl+nr) slices.
+
 This is the TPU-native answer to SURVEY.md configs[4] (KBC-scale graphs):
 DimmWitted's answer was "buy a bigger shared-memory box"; here the graph's
-working set scales across the pod.  Full value-sharding with
-partition-aware halo exchange is the planned next step (round 2).
+working set scales across the pod.
 """
 from __future__ import annotations
 
@@ -36,10 +47,54 @@ def make_mesh(n_chains: int, n_graph: int, devices=None) -> Mesh:
     return Mesh(devices.reshape(n_chains, n_graph), ("chains", "graph"))
 
 
+def halo_plan(bd_lo, bd_hi, band_w: int, B: int, n_graph: int):
+    """How far (in owner slices) any device's reads reach beyond its own
+    slice of a color block: returns (nl, nr), or None when the halo
+    exchange does not apply (no banding plan, misaligned tiles, or no win
+    over the full all_gather).
+
+    bd_lo/bd_hi: host [C, ntiles] TRUE per-tile read bounds [lo, hi) over
+    cs_nbr (compile.py) — these bound every value position a tile's sweep
+    can consult, whether the gather runs banded or as a plain row gather
+    (the banded windows merely pad them).  Reader device g owns tiles
+    [g*tpd, (g+1)*tpd) of every color (tile axis co-shards with the B axis
+    in shard_device_graph / infer_gs)."""
+    if band_w <= 0:
+        return None
+    bd_lo = np.asarray(bd_lo)
+    bd_hi = np.asarray(bd_hi)
+    C, ntiles = bd_lo.shape
+    if B % n_graph or ntiles % n_graph:
+        return None
+    Bl = B // n_graph
+    tpd = ntiles // n_graph
+    nl = nr = 0
+    for g in range(n_graph):
+        lo_own, hi_own = g * Bl, (g + 1) * Bl
+        los = bd_lo[:, g * tpd:(g + 1) * tpd].ravel()
+        his = bd_hi[:, g * tpd:(g + 1) * tpd].ravel()
+        for L, H in zip(los.tolist(), his.tolist()):
+            if L >= H:
+                continue                   # empty tile (lo=P, hi=0)
+            for c in range(L // B, min((H - 1) // B + 1, C)):
+                l = max(L - c * B, 0)
+                h = min(H - c * B, B)
+                if l >= h:
+                    continue
+                nl = max(nl, -((l - lo_own) // Bl))      # ceil((lo_own-l)/Bl)
+                nr = max(nr, -((hi_own - h) // Bl))
+    nl, nr = max(nl, 0), max(nr, 0)
+    if nl + nr >= n_graph - 1:
+        return None
+    return nl, nr
+
+
 def _sharded_color_step(dg_l, values, weights, key, c, sample_evidence, info,
-                        n_graph: int, modes=("off", "off")):
+                        n_graph: int, modes=("off", "off"), halo=None):
     """One color step where this device owns rows [g*Bl, (g+1)*Bl) of the
-    block (dg_l holds the LOCAL stream slice; values are full [P, NC])."""
+    block (dg_l holds the LOCAL stream slice; values are full [P, NC] —
+    plus Bl scratch rows at the end in halo mode, where only the positions
+    this device ever reads are kept fresh)."""
     Bl = dg_l.cs_mask.shape[1]        # local block rows
     B = Bl * n_graph
     g = jax.lax.axis_index("graph")
@@ -56,19 +111,42 @@ def _sharded_color_step(dg_l, values, weights, key, c, sample_evidence, info,
     old = jax.lax.dynamic_slice(values, (start, 0), (Bl, NC))
     new = jnp.where(resample[:, None], drawn, old)
 
-    # reassemble the whole color block across the graph axis (ICI)
-    new_full = jax.lax.all_gather(new, "graph", axis=0, tiled=True)  # [B, NC]
-    return jax.lax.dynamic_update_slice(values, new_full, (c * B, 0))
+    if halo is None:
+        # reassemble the whole color block across the graph axis (ICI)
+        new_full = jax.lax.all_gather(new, "graph", axis=0, tiled=True)
+        return jax.lax.dynamic_update_slice(values, new_full, (c * B, 0))
+
+    # halo exchange: own slice written in place; only the nl/nr neighbor
+    # slices any read window can touch are ppermute'd (nearest-neighbor ICI
+    # traffic instead of a full all_gather).  Devices at the mesh edge have
+    # no sender/receiver for some shifts: ppermute then yields zeros, which
+    # land in the Bl scratch rows appended after the dummy tail.
+    nl, nr = halo
+    P_real = values.shape[0] - Bl
+    values = jax.lax.dynamic_update_slice(values, new, (start, 0))
+    for j in range(1, nl + 1):
+        # owner h's slice travels j devices to the RIGHT: g receives g-j's
+        recv = jax.lax.ppermute(new, "graph",
+                                [(h, h + j) for h in range(n_graph - j)])
+        tgt = jnp.where(g >= j, c * B + (g - j) * Bl, P_real)
+        values = jax.lax.dynamic_update_slice(values, recv, (tgt, 0))
+    for j in range(1, nr + 1):
+        recv = jax.lax.ppermute(new, "graph",
+                                [(h, h - j) for h in range(j, n_graph)])
+        tgt = jnp.where(g + j < n_graph, c * B + (g + j) * Bl, P_real)
+        values = jax.lax.dynamic_update_slice(values, recv, (tgt, 0))
+    return values
 
 
 def sweep_gs(dg_l, values, weights, key, sample_evidence: bool, info,
-             n_graph: int, modes=("off", "off")):
+             n_graph: int, modes=("off", "off"), halo=None):
     C = dg_l.cs_mask.shape[0]
 
     def body(c, vals):
         ck = jax.random.fold_in(key, c)
         return _sharded_color_step(dg_l, vals, weights, ck, c,
-                                   sample_evidence, info, n_graph, modes)
+                                   sample_evidence, info, n_graph, modes,
+                                   halo)
 
     return jax.lax.fori_loop(0, C, body, values, unroll=(C <= 4))
 
@@ -95,12 +173,16 @@ def shard_device_graph(dg, mesh: Mesh):
 
 def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
              mesh: Mesh, chains_per_device: int,
-             sample_evidence: bool = False, modes=None):
+             sample_evidence: bool = False, modes=None, halo="auto"):
     """Inference on a ("chains", "graph") mesh.
 
     Streams sharded over graph; values replicated per device with
     chains_per_device chains along the chains axis.  Tallies are psum'd
     over both axes.  Returns marginals [V, K] float32.
+
+    halo: "auto" derives the partition-aware exchange plan from the banding
+    windows (falls back to all_gather when not applicable); None forces the
+    full per-color all_gather; an explicit (nl, nr) tuple is used as-is.
 
     The compiled block size must divide evenly: compile with
     ``compile_graph(g, align=8 * n_graph)``.
@@ -116,6 +198,9 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
         raise ValueError(
             f"block size {B} not divisible by graph axis {n_graph}; "
             f"compile with align=8*{n_graph}")
+    if halo == "auto":
+        halo = halo_plan(jax.device_get(dg.bd_lo), jax.device_get(dg.bd_hi),
+                         info.band_w, B, n_graph)
 
     B_full = dg.cs_mask.shape[1]
     cs_spec = {n: (P(None, "graph")
@@ -135,35 +220,51 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
         key_l = keys[0]
         k_init, k_run = jax.random.split(key_l)
         vals = init_values_mc(dg_l, k_init, chains_per_device, info)
-        # the sweep's all_gather makes values 'varying' over graph; give the
+        Bl = B // n_graph
+        P = vals.shape[0]
+        if halo is not None:
+            # Bl scratch rows absorb the mesh-edge devices' no-sender writes
+            vals = jnp.pad(vals, ((0, Bl), (0, 0)))
+        # the sweep's collectives make values 'varying' over graph; give the
         # scan carry that type from the start
         vals = jax.lax.pcast(vals, ("graph",), to="varying")
 
         K = info.max_card
-        counts0 = jnp.tile(vals[:, :1].astype(jnp.int32) * 0, (1, K))
+        counts0 = jnp.tile(vals[:1, :1].astype(jnp.int32) * 0, (P, K))
         ks = jnp.arange(K, dtype=jnp.int32)
+        if halo is not None:
+            # stale-region safety: tallies count OWN rows only; the psum
+            # over the graph axis then assembles disjoint contributions
+            g_idx = jax.lax.axis_index("graph")
+            r = jnp.arange(P - 1, dtype=jnp.int32)
+            own = ((r % B) // Bl == g_idx)
+            rowmask = jnp.concatenate([own, jnp.zeros((1,), bool)])[:, None]
+        else:
+            rowmask = True
 
         def body(carry, i):
             vals, counts = carry
             kk = jax.random.fold_in(k_run, i)
             vals = sweep_gs(dg_l, vals, w, kk, sample_evidence, info,
-                            n_graph, modes)
+                            n_graph, modes, halo)
             tally = jnp.where(i >= n_burn, 1, 0)
-            onehot = (vals.astype(jnp.int32)[:, None, :] == ks[None, :, None])
-            counts = counts + tally * jnp.sum(onehot, axis=-1,
-                                              dtype=jnp.int32)
+            onehot = (vals[:P].astype(jnp.int32)[:, None, :]
+                      == ks[None, :, None])
+            oh = jnp.sum(onehot, axis=-1, dtype=jnp.int32)
+            counts = counts + tally * jnp.where(rowmask, oh, 0)
             return (vals, counts), None
 
         (vals, counts), _ = jax.lax.scan(
             body, (vals, counts0), jnp.arange(n_burn + n_sweeps))
-        # reduce over BOTH axes: chains pools tallies; graph copies are
-        # identical, so the extra sum is compensated in the denominator
-        # (and it proves replication for the out_spec type)
+        # reduce over BOTH axes: chains pools tallies; over graph the halo
+        # contributions are disjoint (own rows), while all_gather copies are
+        # identical and compensated in the denominator
         counts = jax.lax.psum(counts, ("chains", "graph"))
         return counts
 
     keys = jax.random.split(key, n_chains_ax)
     counts = run(dg, weights, keys)
-    total = n_sweeps * chains_per_device * n_chains_ax * n_graph
+    total = n_sweeps * chains_per_device * n_chains_ax * (
+        1 if halo is not None else n_graph)
     marg = counts[dg.pos_of_vid].astype(jnp.float32) / jnp.float32(total)
     return marg

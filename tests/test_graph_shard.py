@@ -35,6 +35,49 @@ def test_graph_sharded_evidence():
     assert err < 0.012, f"max |dp| = {err:.4f}"
 
 
+def test_halo_plan_reduces_traffic():
+    """The banding windows bound every read — the halo plan must beat the
+    full all_gather on a banded grid (VERDICT r1 #4 'bytes reduced')."""
+    from sampler_tpu.benchgraphs import big_ising_grid
+    from sampler_tpu.parallel.graph_shard import halo_plan
+
+    n_graph = 4
+    g, colors = big_ising_grid(64, 64)
+    dg, info = compile_graph(g, colors=colors, align=8 * n_graph,
+                             band_tile=128, band_min_block=1)
+    assert info.band_w > 0
+    B = dg.cs_mask.shape[1]
+    plan = halo_plan(dg.bd_lo, dg.bd_hi, info.band_w, B, n_graph)
+    assert plan is not None
+    nl, nr = plan
+    # exchanged slices per color step: nl+nr vs all_gather's n_graph-1
+    assert nl + nr < n_graph - 1, f"halo {plan} no better than all_gather"
+
+
+def test_halo_parity_with_all_gather():
+    """Same keys, same reads -> the halo-exchange sweep must produce the
+    same marginals as the full-all_gather sweep (stale regions never read;
+    own-row tallies reassemble disjointly)."""
+    from sampler_tpu.benchgraphs import big_ising_grid
+    from sampler_tpu.parallel.graph_shard import halo_plan
+
+    n_chains_ax, n_graph = 2, 4
+    g, colors = big_ising_grid(64, 64)
+    dg, info = compile_graph(g, colors=colors, align=8 * n_graph,
+                             band_tile=128, band_min_block=1)
+    dgj = to_device(dg)
+    B = dg.cs_mask.shape[1]
+    assert halo_plan(dg.bd_lo, dg.bd_hi, info.band_w, B, n_graph) is not None
+    mesh = make_mesh(n_chains_ax, n_graph)
+    kwargs = dict(n_burn=2, n_sweeps=30, info=info, mesh=mesh,
+                  chains_per_device=2)
+    m_halo = infer_gs(dgj, dgj.w_init, jax.random.PRNGKey(5), halo="auto",
+                      **kwargs)
+    m_full = infer_gs(dgj, dgj.w_init, jax.random.PRNGKey(5), halo=None,
+                      **kwargs)
+    np.testing.assert_array_equal(np.asarray(m_halo), np.asarray(m_full))
+
+
 def test_block_divisibility_check():
     g = fixtures.ising_grid(3, 3)
     dg, info = compile_graph(g, align=8)  # B=8 not divisible by 3
