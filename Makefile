@@ -3,7 +3,7 @@
 
 PYTHON ?= python
 
-.PHONY: all native test bench dryrun clean
+.PHONY: all native test bench dryrun scale-demo clean
 
 all: native
 
@@ -19,9 +19,15 @@ test: native
 bench:
 	$(PYTHON) bench.py
 
+# KBC-scale demonstration: 10.2M-variable grid compiled chunked and run
+# graph-sharded (halo exchange) on 8 virtual CPU devices
+scale-demo:
+	XLA_FLAGS="--xla_force_host_platform_device_count=8" JAX_PLATFORMS=cpu \
+	$(PYTHON) -m sampler_tpu.scale_demo --rows 3200 --cols 3200 --sweeps 6
+
 # multi-chip sharding dry-run on 8 virtual CPU devices
 dryrun:
-	XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+	XLA_FLAGS="--xla_force_host_platform_device_count=8" JAX_PLATFORMS=cpu \
 	$(PYTHON) -c "import jax; jax.config.update('jax_platforms','cpu'); \
 	import __graft_entry__ as g; g.dryrun_multichip(8)"
 

@@ -55,10 +55,10 @@ class DeviceGraph(NamedTuple):
     f_eqpred: np.ndarray  # int32
     f_mask: np.ndarray    # bool, True on real edges
     # factors ------------------------------------------------------ [F']
-    f_type: np.ndarray    # int32
+    f_type: np.ndarray    # int8
     f_wid: np.ndarray     # int32 (dummy → 0)
     f_feat: np.ndarray    # float32 (dummy → 0.0)
-    f_arity: np.ndarray   # int32 (dummy → 1)
+    f_arity: np.ndarray   # int16 (dummy → 1)
     # color-major incidence streams — the sweep's hot data.  One record per
     # (variable-of-color, incident-factor-slot); contiguous streaming.
     # SLOTS ARE PERMUTED OWN-LAST per (variable, factor): the slots owned by
@@ -74,10 +74,12 @@ class DeviceGraph(NamedTuple):
                            #       (original slot arity-1); explicit because
                            #       the permutation breaks iota==arity-1
     cs_pos: np.ndarray     # bool  [C, B, D, A]
-    cs_eq: np.ndarray      # int32 [C, B, D, A]
+    cs_eq: np.ndarray      # int16/int32 [C, B, D, A]; [C, 1, 1, 1]
+                           #       placeholder when CompileInfo.all_boolean
+                           #       (the engine never reads it then)
     cs_mask: np.ndarray    # bool  [C, B, D, A]
-    cs_type: np.ndarray    # int32 [C, B, D]
-    cs_arity: np.ndarray   # int32 [C, B, D]
+    cs_type: np.ndarray    # int8  [C, B, D]
+    cs_arity: np.ndarray   # int16 [C, B, D]
     cs_wid: np.ndarray     # int32 [C, B, D]
     cs_feat: np.ndarray    # float32 [C, B, D] (pad → 0)
     # banded-gather plan (ops/banded.py): per-tile window starts; [C, 1]
@@ -181,9 +183,11 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
     pos_of_vid[corder] = positions
 
     # --- factor → member edges (as positions), padded [F+1, A] ---------
+    eq_dtype = (np.int16 if np.max(graph.e_eqpred, initial=0) < (1 << 15)
+                else np.int32)
     f_vids = np.full((F + 1, A), DUMMY, np.int32)
     f_ispos = np.zeros((F + 1, A), bool)
-    f_eqpred = np.zeros((F + 1, A), np.int32)
+    f_eqpred = np.zeros((F + 1, A), eq_dtype)
     f_mask = np.zeros((F + 1, A), bool)
     rows = np.repeat(np.arange(F), arity)
     cols = np.arange(E, dtype=np.int64) - np.repeat(graph.f_ptr[:-1], arity)
@@ -192,10 +196,10 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
     f_eqpred[rows, cols] = graph.e_eqpred
     f_mask[rows, cols] = True
 
-    f_type = np.concatenate([graph.f_type, [fs.FUNC_AND]]).astype(np.int32)
+    f_type = np.concatenate([graph.f_type, [fs.FUNC_AND]]).astype(np.int8)
     f_wid = np.concatenate([graph.f_wid, [0]]).astype(np.int32)
     f_feat = np.concatenate([graph.f_feat, [0.0]]).astype(np.float32)
-    f_arity = np.concatenate([arity, [1]]).astype(np.int32)
+    f_arity = np.concatenate([arity, [1]]).astype(np.int16)
 
     # --- variable(position) → DISTINCT incident factors [P, D] ---------
     # a factor mentioning the same variable in several slots appears once;
@@ -230,42 +234,16 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
     cm_resample = (cm_role == 0) & (cm_card > 1)
     cm_resample_ev = cm_card > 1
 
-    # --- color-major incidence streams [C, B, D, ...] ------------------
-    fi = v_fidx[:-1].reshape(C, B, D)        # [C, B, D]
-    cs_mv = f_vids[fi]                       # [C, B, D, A]
-    own = np.arange(C * B, dtype=np.int32).reshape(C, B)[:, :, None, None]
-    cs_ismine = cs_mv == own
-    cs_arity = f_arity[fi]
-    # head slot = original slot arity-1, before the own-last permutation
-    cs_hmask = (np.arange(A, dtype=np.int32)[None, None, None, :]
-                == cs_arity[..., None] - 1) & f_mask[fi]
-
-    # permute each (variable, factor) slot list OWN-LAST (stable: neighbor
-    # slots keep their relative order); slot A-1 is then always own for real
-    # incident factors (n_own >= 1), so the gather needs only slots :A-1
-    perm = np.argsort(cs_ismine, axis=-1, kind="stable")
-    take = np.take_along_axis
-    cs_mv = take(cs_mv, perm, axis=-1)
-    cs_ismine = take(cs_ismine, perm, axis=-1)
-    cs_hmask = take(cs_hmask, perm, axis=-1)
-    cs_pos = take(f_ispos[fi], perm, axis=-1)
-    cs_eq = take(f_eqpred[fi], perm, axis=-1)
-    cs_mask = take(f_mask[fi], perm, axis=-1)
-    cs_nbr = np.where(cs_ismine, np.int32(DUMMY), cs_mv)[..., : A - 1]
-    cs_type = f_type[fi]
-    cs_wid = f_wid[fi]
-    cs_feat = f_feat[fi]
-
-    # --- sparse per-combination weights (FUNC 12 sparse variant) --------
+    # --- sparse per-combination weight TABLE (FUNC 12 sparse variant) ---
     # dense mixed-radix table per sparse factor: entry for combination
     # (v_0..v_{a-1}) lives at base_f + Σ_j v_j·stride_j; combinations with
     # no entry point at the reserved zero weight (index n_weights), so the
     # device lookup needs NO mask (SURVEY.md §7 hard-part 3: hash-free).
     ZERO_WID = graph.n_weights
     has_cw = graph.cw_fid is not None and len(graph.cw_fid) > 0
-    f_cwbase_full = np.full(F + 1, -1, np.int64)
-    f_cwstride_full = np.zeros((F + 1, A), np.int64)
     if has_cw:
+        f_cwbase_full = np.full(F + 1, -1, np.int64)
+        f_cwstride_full = np.zeros((F + 1, A), np.int64)
         edge_cards = graph.var_card[graph.e_vid].astype(np.int64)
         sparse_f = np.unique(graph.cw_fid)
         sizes = np.zeros(F + 1, np.int64)
@@ -291,44 +269,123 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
         cwt_wid[f_cwbase_full[graph.cw_fid] + m] = graph.cw_wid
         f_cwbase = f_cwbase_full.astype(np.int32)
         f_cwstride = f_cwstride_full.astype(np.int32)
-        base_fi = f_cwbase[fi]                         # [C, B, D]
-        cs_issparse = base_fi >= 0
-        cs_cwbase = np.maximum(base_fi, 0).astype(np.int32)
-        cs_cwstride = take(f_cwstride[fi], perm, axis=-1)
     else:
         cwt_wid = np.full(1, ZERO_WID, np.int32)
         f_cwbase = np.full(1, -1, np.int32)
         f_cwstride = np.zeros((1, 1), np.int32)
+
+    # --- color-major incidence streams [C, B, D, ...] -------------------
+    # Assembled in bounded row chunks: peak temporary memory stays
+    # O(CHUNK·D·A) however large the graph is (KBC-scale compile,
+    # VERDICT.md r1 #3), and the hot streams use the narrowest dtype that
+    # fits (cs_type int8, cs_arity int16, cs_eq int16 when the category
+    # ids allow; an all-boolean graph stores NO eq stream at all — the
+    # engine never reads it when CompileInfo.all_boolean).
+    all_boolean = bool((graph.var_dtype == fs.DTYPE_BOOLEAN).all()
+                       and (graph.e_eqpred == 1).all() and not has_cw)
+    present_funcs = tuple(sorted(int(t) for t in np.unique(graph.f_type)))
+    assert A < (1 << 15) and np.max(graph.f_type, initial=0) < (1 << 7)
+    A1 = A - 1
+    cs_nbr = np.empty((C, B, D, A1), np.int32)
+    cs_ismine = np.empty((C, B, D, A), bool)
+    cs_hmask = np.empty((C, B, D, A), bool)
+    cs_pos = np.empty((C, B, D, A), bool)
+    cs_mask = np.empty((C, B, D, A), bool)
+    cs_eq = (np.ones((C, 1, 1, 1), eq_dtype) if all_boolean
+             else np.empty((C, B, D, A), eq_dtype))
+    cs_type = np.empty((C, B, D), np.int8)
+    cs_arity = np.empty((C, B, D), np.int16)
+    cs_wid = np.empty((C, B, D), np.int32)
+    cs_feat = np.empty((C, B, D), np.float32)
+    if has_cw:
+        cs_issparse = np.empty((C, B, D), bool)
+        cs_cwbase = np.empty((C, B, D), np.int32)
+        cs_cwstride = np.empty((C, B, D, A), np.int32)
+    else:
         cs_issparse = np.zeros((C, 1, 1), bool)
         cs_cwbase = np.zeros((C, 1, 1), np.int32)
         cs_cwstride = np.zeros((C, 1, 1, 1), np.int32)
+    # fused-affine candidacy is decided before banding (banding success is
+    # confirmed after; on failure the buffers are dropped)
+    affine_cand = bool(try_band and all_boolean and A == 2)
+    ab_a = np.empty((C, B, D), np.float32) if affine_cand else None
+    ab_b = np.empty((C, B, D), np.float32) if affine_cand else None
+    if affine_cand:
+        from .ops.fused import affine_pairwise
+
+    take = np.take_along_axis
+    iota_a = np.arange(A, dtype=np.int16)[None, None, :]
+    CHUNK = max(1, (1 << 24) // max(D * A, 1))
+    for c in range(C):
+        for b0 in range(0, B, CHUNK):
+            b1 = min(b0 + CHUNK, B)
+            fi = v_fidx[c * B + b0: c * B + b1]        # [n, D]
+            mv = f_vids[fi]                            # [n, D, A]
+            own = np.arange(c * B + b0, c * B + b1,
+                            dtype=np.int32)[:, None, None]
+            ismine = mv == own
+            ar = f_arity[fi]                           # [n, D] int16
+            msk = f_mask[fi]
+            # head slot = original slot arity-1, pre-permutation
+            hm = (iota_a == ar[..., None] - 1) & msk
+            pos = f_ispos[fi]
+            eq = None if all_boolean else f_eqpred[fi]
+            cw = f_cwstride[fi] if has_cw else None
+
+            # permute each (variable, factor) slot list OWN-LAST (stable:
+            # neighbor slots keep their relative order); slot A-1 is then
+            # always own for real incident factors (n_own >= 1), so the
+            # gather needs only slots :A-1
+            if A == 2:
+                # stable own-last = swap iff exactly slot 0 is own
+                sw = (ismine[..., 0] & ~ismine[..., 1])[..., None]
+
+                def permute(x):
+                    return np.where(sw, x[..., ::-1], x)
+            else:
+                perm = np.argsort(ismine, axis=-1, kind="stable")
+
+                def permute(x):
+                    return take(x, perm, axis=-1)
+
+            mv_p = permute(mv)
+            ismine_p = permute(ismine)
+            cs_nbr[c, b0:b1] = np.where(ismine_p, np.int32(DUMMY),
+                                        mv_p)[..., :A1]
+            cs_ismine[c, b0:b1] = ismine_p
+            cs_hmask[c, b0:b1] = permute(hm)
+            cs_pos[c, b0:b1] = permute(pos)
+            cs_mask[c, b0:b1] = permute(msk)
+            if not all_boolean:
+                cs_eq[c, b0:b1] = permute(eq)
+            cs_type[c, b0:b1] = f_type[fi]
+            cs_arity[c, b0:b1] = ar
+            cs_wid[c, b0:b1] = f_wid[fi]
+            cs_feat[c, b0:b1] = f_feat[fi]
+            if has_cw:
+                base_fi = f_cwbase[fi]
+                cs_issparse[c, b0:b1] = base_fi >= 0
+                cs_cwbase[c, b0:b1] = np.maximum(base_fi, 0)
+                cs_cwstride[c, b0:b1] = permute(cw)
+            if affine_cand:
+                ab_a[c, b0:b1], ab_b[c, b0:b1] = affine_pairwise(
+                    cs_pos[c, b0:b1], cs_mask[c, b0:b1], ismine_p,
+                    cs_hmask[c, b0:b1], cs_type[c, b0:b1], present_funcs)
 
     # --- banded-gather window plan --------------------------------------
     from .ops.banded import plan_banding
 
-    bd_start, band_w = (plan_banding(cs_nbr, P, band_tile, band_wmax)
-                        if try_band else (None, 0))
+    bd_start, band_w, bd_lo, bd_hi = (
+        plan_banding(cs_nbr, P, band_tile, band_wmax)
+        if try_band else (None, 0, None, None))
     if bd_start is None:
         bd_start, band_w = np.zeros((C, 1), np.int32), 0
         bd_lo = np.zeros((C, 1), np.int32)
         bd_hi = np.zeros((C, 1), np.int32)
-    else:
-        ntiles_b = bd_start.shape[1]
-        idx_b = cs_nbr.reshape(C, ntiles_b, -1).astype(np.int64)
-        real_b = idx_b != DUMMY
-        bd_lo = np.where(real_b, idx_b, P).min(axis=-1).astype(np.int32)
-        bd_hi = (np.where(real_b, idx_b, -1).max(axis=-1) + 1).astype(
-            np.int32)
 
-    # --- fused affine color-step coefficients (ops/fused.py) ------------
-    all_boolean = bool((graph.var_dtype == fs.DTYPE_BOOLEAN).all()
-                       and (graph.e_eqpred == 1).all() and not has_cw)
-    affine2 = bool(band_w > 0 and all_boolean and A == 2)
+    # --- fused affine color step (ops/fused.py) --------------------------
+    affine2 = bool(band_w > 0 and affine_cand)
     if affine2:
-        from .ops.fused import affine_pairwise
-
-        ab_a, ab_b = affine_pairwise(cs_pos, cs_mask, cs_ismine, cs_hmask,
-                                     cs_type)
         ntiles = bd_start.shape[1]
         TB = B // ntiles
         bd_nbr = (cs_nbr[..., 0].reshape(C, ntiles, TB, D)
@@ -361,7 +418,7 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
         n_vars=V, n_factors=F, n_weights=graph.n_weights, n_colors=C,
         max_arity=A, max_degree=D, max_card=int(graph.var_card.max()),
         block_size=B,
-        present_funcs=tuple(sorted(int(t) for t in np.unique(graph.f_type))),
+        present_funcs=present_funcs,
         all_boolean=all_boolean,
         band_w=band_w, band_tb=band_tile if band_w else 0,
         affine2=affine2,

@@ -58,28 +58,37 @@ def plan_banding(cs_nbr: np.ndarray, P: int, tb: int, w_max: int = 8192):
     """Window analysis.  cs_nbr: int32 [C, B, D, A1] neighbor positions with
     out-of-graph slots pointing at the dummy position P-1.
 
-    Returns (starts [C, ntiles] int32, W int) or (None, 0) when banding is
-    not applicable (unary graph, tile misalignment, or spread > w_max).
+    Returns (starts [C, ntiles] int32, W int, lo [C, ntiles], hi [C, ntiles])
+    or (None, 0, None, None) when banding is not applicable (unary graph,
+    tile misalignment, or spread > w_max).  lo/hi are the TRUE per-tile read
+    bounds [lo, hi) excluding the dummy slot (empty tile -> lo=P, hi=0);
+    the halo-exchange plan (parallel/graph_shard.py) consumes them.
+
+    Processes one color at a time so peak temporaries stay O(B*D*A1), not
+    O(C*B*D*A1) — required for KBC-scale graphs.
     """
     C, B, D, A1 = cs_nbr.shape
     if A1 == 0 or B % tb != 0 or P < LANE:
-        return None, 0
+        return None, 0, None, None
     ntiles = B // tb
-    idx = cs_nbr.reshape(C, ntiles, tb * D * A1).astype(np.int64)
-    real = idx != (P - 1)                      # dummy slot = P-1
-    lo = np.where(real, idx, P).min(axis=-1)   # [C, ntiles]
-    hi = np.where(real, idx, -1).max(axis=-1)
-    lo = np.minimum(lo, np.maximum(hi, 0))     # empty tile -> lo = 0
-    starts = (lo // START_ALIGN) * START_ALIGN
+    lo = np.empty((C, ntiles), np.int32)
+    hi = np.empty((C, ntiles), np.int32)
+    for c in range(C):
+        idx = cs_nbr[c].reshape(ntiles, tb * D * A1)
+        real = idx != (P - 1)                  # dummy slot = P-1
+        lo[c] = np.where(real, idx, np.int32(P)).min(axis=-1)
+        hi[c] = np.where(real, idx, np.int32(-1)).max(axis=-1)
+    lo_c = np.minimum(lo, np.maximum(hi, 0))   # empty tile -> start from 0
+    starts = (lo_c // START_ALIGN) * START_ALIGN
     spread = int(np.maximum(hi - starts + 1, 1).max())
     W = _round_up(spread, LANE)
     if W > min(w_max, P):
-        return None, 0
+        return None, 0, None, None
     starts = np.minimum(starts, P - W)         # keep window inside [0, P)
     starts = np.maximum(starts, 0)
-    assert int((np.where(real, idx, starts[..., None])
-                - starts[..., None]).max()) < W
-    return starts.astype(np.int32), W
+    assert int((hi - starts).max()) < W
+    return (starts.astype(np.int32), W,
+            lo.astype(np.int32), (hi + 1).astype(np.int32))
 
 
 def band_mode() -> str:

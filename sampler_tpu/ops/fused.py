@@ -43,35 +43,61 @@ from .. import format_spec as fs
 # compile-time affine analysis (numpy)
 # --------------------------------------------------------------------------
 
-def _phi_np(nlit, head, n, ftype):
-    """Vectorized numpy twin of engine._phi_from_counts (float64)."""
-    nbody = nlit - head.astype(np.int64)
-    n_body = np.maximum(n - 1, 0)
-    lin = np.where(head, n_body, n_body - nbody).astype(np.float64)
-    lin = np.where(n == 1, head.astype(np.float64), lin)
-    variants = [
-        (fs.FUNC_AND, (nlit == n)), (fs.FUNC_AND_CATEGORICAL, (nlit == n)),
-        (fs.FUNC_IMPLY_NATURAL, (nlit == n)),
-        (fs.FUNC_OR, (nlit > 0)),
-        (fs.FUNC_EQUAL, (nlit == 0) | (nlit == n)),
-        (fs.FUNC_ISTRUE, head),
-        (fs.FUNC_IMPLY_MLN, np.where(nbody < n_body, 1.0, head)),
-        (fs.FUNC_LINEAR, lin),
-        (fs.FUNC_RATIO, np.log1p(lin)),
-        (fs.FUNC_LOGICAL, lin > 0),
-    ]
-    out = np.zeros(np.shape(nlit), np.float64)
-    for t, v in variants:
-        out = np.where(ftype == t, v, out)
+def _phi_np(nlit, head, n, ftype, present=None):
+    """Vectorized numpy twin of engine._phi_from_counts (float32).
+
+    ``present``: iterable of factor-function ids actually in the graph —
+    only those variants are evaluated (compile-time cost is proportional to
+    the functions used, not all ten)."""
+    if present is None:
+        present = fs.ALL_FACTOR_FUNCS
+    present = set(int(t) for t in present)
+    f32 = np.float32
+
+    def lin_stat():
+        nbody = nlit - head.astype(np.int32)
+        n_body = np.maximum(n - 1, 0)
+        lin = np.where(head, n_body, n_body - nbody).astype(f32)
+        return np.where(n == 1, head.astype(f32), lin)
+
+    def variant(t):
+        if t in (fs.FUNC_AND, fs.FUNC_AND_CATEGORICAL,
+                 fs.FUNC_IMPLY_NATURAL):
+            return nlit == n
+        if t == fs.FUNC_OR:
+            return nlit > 0
+        if t == fs.FUNC_EQUAL:
+            return (nlit == 0) | (nlit == n)
+        if t == fs.FUNC_ISTRUE:
+            return head
+        if t == fs.FUNC_IMPLY_MLN:
+            nbody = nlit - head.astype(np.int32)
+            return np.where(nbody < np.maximum(n - 1, 0), f32(1.0),
+                            head.astype(f32))
+        if t == fs.FUNC_LINEAR:
+            return lin_stat()
+        if t == fs.FUNC_RATIO:
+            return np.log1p(lin_stat())
+        if t == fs.FUNC_LOGICAL:
+            return lin_stat() > 0
+        raise ValueError(f"unknown factor function type {t}")
+
+    present = sorted(present)
+    if len(present) == 1:
+        return np.asarray(variant(present[0]), f32)
+    out = np.zeros(np.shape(nlit), f32)
+    for t in present:
+        np.copyto(out, variant(t), where=(ftype == t))
     return out
 
 
-def affine_pairwise(cs_pos, cs_mask, cs_ismine, cs_hmask, cs_type):
+def affine_pairwise(cs_pos, cs_mask, cs_ismine, cs_hmask, cs_type,
+                    present=None):
     """Per-incidence affine coefficients (a, b) of delta-phi in the single
     neighbor value v:  phi(own=1, v) - phi(own=0, v) = a + b*v.
 
-    All inputs [C, B, D, A] with A <= 2 (own-last slot permutation).
-    Returns float32 (a, b) of shape [C, B, D].  Handles n_own == arity
+    All inputs [..., D, A] with A <= 2 (own-last slot permutation).
+    Returns float32 (a, b) of shape [..., D].  Handles n_own == arity
     (repeated-variable / unary factors: b == 0) and padded records
     (mask all-False: a == b == 0 since every phi is constant there).
     """
@@ -79,10 +105,10 @@ def affine_pairwise(cs_pos, cs_mask, cs_ismine, cs_hmask, cs_type):
     def phi(k, v):
         val = np.where(cs_ismine, k, v)
         lits = ((val == 1) == cs_pos) & cs_mask
-        nlit = lits.sum(-1)
-        n = cs_mask.sum(-1)
+        nlit = lits.sum(-1, dtype=np.int32)
+        n = cs_mask.sum(-1, dtype=np.int32)
         head = (lits & cs_hmask).any(-1)
-        return _phi_np(nlit, head, n, cs_type)
+        return _phi_np(nlit, head, n, cs_type, present)
 
     d0 = phi(1, 0) - phi(0, 0)
     d1 = phi(1, 1) - phi(0, 1)

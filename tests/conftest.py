@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# the machine env exports JAX_PLATFORMS=axon (sitecustomize registers the
+# TPU plugin in every process); BOTH the env var and the config must say
+# cpu or the two race — late backend initialization can flip to the axon
+# device mid-suite (observed: tests that do several seconds of numpy work
+# before their first jax call saw 1 axon device instead of 8 cpu)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
