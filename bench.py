@@ -31,6 +31,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+# persistent XLA compile cache: the benchmark graph's programs take minutes
+# to build on the axon backend cold; warm runs reload them in seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -107,7 +115,7 @@ def main():
     n_chains = int(os.environ.get("BENCH_CHAINS", "512"))
     inner = int(os.environ.get("BENCH_INNER", "10"))     # sweeps per call
     outer = int(os.environ.get("BENCH_OUTER", "6"))      # chained calls
-    l_chains = int(os.environ.get("BENCH_LEARN_CHAINS", "32"))
+    l_chains = int(os.environ.get("BENCH_LEARN_CHAINS", "256"))
     l_epochs = int(os.environ.get("BENCH_LEARN_EPOCHS", "10"))
     l_sweeps = int(os.environ.get("BENCH_LEARN_SWEEPS", "2"))
     l_outer = int(os.environ.get("BENCH_LEARN_OUTER", "3"))

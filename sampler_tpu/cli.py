@@ -84,6 +84,13 @@ def cmd_gibbs(args) -> int:
     if args.platform:
         jax.config.update("jax_platforms",
                           "cpu" if args.platform == "cpu" else "axon")
+    # persistent XLA compile cache: repeat runs of same-shaped graphs skip
+    # the minutes-long cold compile on the TPU backend
+    cache = os.environ.get("SAMPLER_TPU_COMPILE_CACHE",
+                           os.path.expanduser("~/.cache/sampler_tpu_xla"))
+    if cache and cache.lower() != "off":
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from .compile import compile_graph, to_device
     from .io import binary, results

@@ -81,7 +81,13 @@ class DeviceGraph(NamedTuple):
     cs_type: np.ndarray    # int8  [C, B, D]
     cs_arity: np.ndarray   # int16 [C, B, D]
     cs_wid: np.ndarray     # int32 [C, B, D]
-    cs_feat: np.ndarray    # float32 [C, B, D] (pad → 0)
+    cs_feat: np.ndarray    # float32 [C, B, D]
+    # gradient ownership: each real factor is "owned" by exactly ONE
+    # incidence record (its min-position member), so the contrastive-SGD
+    # gradient can be evaluated on the cs streams — reusing the banded MXU
+    # gather — without counting a factor once per member
+    cs_gowner: np.ndarray  # bool [C, B, D] this record owns its factor
+    cs_gtouch: np.ndarray  # bool [C, B, D] owner & factor touches evidence (pad → 0)
     # banded-gather plan (ops/banded.py): per-tile window starts; [C, 1]
     # zeros when banding is off (CompileInfo.band_w == 0)
     bd_start: np.ndarray   # int32 [C, ntiles]
@@ -297,6 +303,12 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
     cs_arity = np.empty((C, B, D), np.int16)
     cs_wid = np.empty((C, B, D), np.int32)
     cs_feat = np.empty((C, B, D), np.float32)
+    cs_gowner = np.empty((C, B, D), bool)
+    cs_gtouch = np.empty((C, B, D), bool)
+    # factor -> min member position (dummy/pad factors -> P: never matches)
+    f_minpos = np.where(f_mask, f_vids, np.int32(P)).min(axis=1)
+    # factor -> touches an evidence variable
+    f_touch = ((var_role[f_vids] == fs.ROLE_EVIDENCE) & f_mask).any(axis=1)
     if has_cw:
         cs_issparse = np.empty((C, B, D), bool)
         cs_cwbase = np.empty((C, B, D), np.int32)
@@ -362,6 +374,8 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
             cs_arity[c, b0:b1] = ar
             cs_wid[c, b0:b1] = f_wid[fi]
             cs_feat[c, b0:b1] = f_feat[fi]
+            cs_gowner[c, b0:b1] = f_minpos[fi] == own[..., 0]
+            cs_gtouch[c, b0:b1] = cs_gowner[c, b0:b1] & f_touch[fi]
             if has_cw:
                 base_fi = f_cwbase[fi]
                 cs_issparse[c, b0:b1] = base_fi >= 0
@@ -401,6 +415,7 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
         cs_nbr=cs_nbr, cs_ismine=cs_ismine, cs_hmask=cs_hmask,
         cs_pos=cs_pos, cs_eq=cs_eq, cs_mask=cs_mask,
         cs_type=cs_type, cs_arity=cs_arity, cs_wid=cs_wid, cs_feat=cs_feat,
+        cs_gowner=cs_gowner, cs_gtouch=cs_gtouch,
         bd_start=bd_start, bd_lo=bd_lo, bd_hi=bd_hi,
         bd_nbr=bd_nbr, ab_a=ab_a, ab_b=ab_b,
         var_card=var_card, var_role=var_role, var_init=var_init,

@@ -437,7 +437,75 @@ def sparse_comb_wids(dg, values):
     return jnp.where(base >= 0, wid, zero)
 
 
-def mc_weight_gradient(dg, v_ev, v_free, learn_non_evidence: bool, info):
+def _cs_phi(dg, values, c, info, modes):
+    """φ for every incidence record of color ``c`` at the CURRENT values:
+    [B, D, NC].  Same gather machinery as the draw path (banded MXU gather
+    when enabled), but a single candidate — the variable's own value."""
+    nbr_lit, pos, eq, _ = _nbr_lits(dg, values, c, info, modes)
+    B = dg.cs_mask.shape[1]
+    NC = values.shape[-1]
+    A = dg.cs_mask.shape[-1]
+    A1 = A - 1
+    ownv = jax.lax.dynamic_slice(values, (c * B, 0), (B, NC))
+    dt = values.dtype
+    if eq is None:
+        own_lit = ((ownv[:, None, :] == jnp.asarray(1, dt))[:, :, None, :]
+                   == pos[:, :, :, None])                    # [B, D, A, NC]
+    else:
+        own_lit = ((ownv[:, None, None, :] == eq[..., None].astype(dt))
+                   == pos[..., None])
+    is_mine = dg.cs_ismine[c]
+    lit_head = jnp.where(is_mine[..., :A1, None], own_lit[..., :A1, :],
+                         nbr_lit)
+    lit = jnp.concatenate([lit_head, own_lit[..., A1:, :]], axis=-2)
+    return _eval_phi_ax2(
+        lit,
+        dg.cs_mask[c][..., None],
+        dg.cs_type[c][:, :, None],
+        dg.cs_arity[c][:, :, None],
+        info.present_funcs,
+        hmask=dg.cs_hmask[c][..., None],
+    )                                                        # [B, D, NC]
+
+
+def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
+                          modes=("off", "off")):
+    """Weight gradient on the cs streams: each factor counted once via its
+    compile-time owner record (cs_gowner / cs_gtouch), neighbor values
+    fetched with the same (banded) gather the sweep uses.  Equivalent to
+    the per-factor path for graphs without sparse per-combination weights
+    (tests/test_learning.py asserts equality)."""
+    W = dg.w_init.shape[0]
+    C = dg.cs_mask.shape[0]
+
+    def body(c, grad):
+        phi_e = _cs_phi(dg, v_ev, c, info, modes)
+        phi_f = _cs_phi(dg, v_free, c, info, modes)
+        gm = dg.cs_gowner[c] if learn_non_evidence else dg.cs_gtouch[c]
+        diff = jnp.mean(phi_e - phi_f, axis=-1) * dg.cs_feat[c]
+        diff = jnp.where(gm, diff, 0.0)
+        return grad + jax.ops.segment_sum(diff.ravel(),
+                                          dg.cs_wid[c].ravel(),
+                                          num_segments=W)
+
+    return jax.lax.fori_loop(0, C, body, jnp.zeros((W,), jnp.float32),
+                             unroll=(C <= 4))
+
+
+def mc_weight_gradient(dg, v_ev, v_free, learn_non_evidence: bool, info,
+                       modes=None):
+    """Weight gradient dispatcher: the cs-stream path (banded-gather
+    friendly) unless the graph carries sparse per-combination weights,
+    which stay on the per-factor route below."""
+    if modes is not None and not info.has_sparse_cw:
+        return mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence,
+                                     info, modes)
+    return _mc_weight_gradient_factors(dg, v_ev, v_free, learn_non_evidence,
+                                       info)
+
+
+def _mc_weight_gradient_factors(dg, v_ev, v_free, learn_non_evidence: bool,
+                                info):
     """Weight gradient averaged over the chain axis of [P, NC] worlds."""
     issparse = dg.f_cwbase[:, None] >= 0 if info.has_sparse_cw else False
     diff = dg.f_feat[:, None] * (mc_factor_phis(dg, v_ev, info)
@@ -498,7 +566,7 @@ def _learn_mc_from(dg, weights, v_ev, v_free, alpha, key, cfg, info, modes):
         (v_ev, v_free), _ = jax.lax.scan(
             one_sweep, (v_ev, v_free), jnp.arange(cfg.n_sweeps_per_epoch))
         grad = mc_weight_gradient(dg, v_ev, v_free, cfg.learn_non_evidence,
-                                  info)
+                                  info, modes)
         w = apply_update(w, grad, dg.w_fixed, alpha, cfg.regularization,
                          cfg.reg_param)
         return (w, v_ev, v_free, alpha * cfg.diminish), None

@@ -115,7 +115,7 @@ def _learn_step_fn(cfg, info, mesh: Mesh, modes):
         # gradient pooled over local chains, then over devices
         from ..engine.multichain import mc_weight_gradient
         grad = mc_weight_gradient(dg_l, v_ev, v_free,
-                                  cfg.learn_non_evidence, info)
+                                  cfg.learn_non_evidence, info, modes)
         grad = jax.lax.pmean(grad, "chains")
         w = apply_update(w, grad, dg_l.w_fixed, alpha, cfg.regularization,
                          cfg.reg_param)

@@ -90,3 +90,70 @@ def test_two_weight_separation():
     wb_star = np.log(labels_b.mean() / (1 - labels_b.mean()))
     assert float(w[0]) == pytest.approx(wa_star, abs=0.2)
     assert float(w[1]) == pytest.approx(wb_star, abs=0.2)
+
+
+@pytest.mark.parametrize("lne", [False, True])
+def test_cs_gradient_matches_factor_gradient(lne):
+    """The cs-stream gradient (owner-deduped, banded-gather friendly) must
+    equal the per-factor gradient on any non-sparse graph."""
+    from sampler_tpu.engine.multichain import (_mc_weight_gradient_factors,
+                                               init_values_mc,
+                                               mc_weight_gradient_cs)
+
+    for seed in range(3):
+        g = fixtures.random_boolean_graph(40, 90, max_arity=3, seed=seed,
+                                          evidence_frac=0.3)
+        dg, info = compile_graph(g)
+        dgj = to_device(dg)
+        k0, k1 = jax.random.split(jax.random.PRNGKey(seed))
+        v_ev = init_values_mc(dgj, k0, 4, info)
+        v_free = init_values_mc(dgj, k1, 4, info)
+        g_f = _mc_weight_gradient_factors(dgj, v_ev, v_free, lne, info)
+        g_cs = mc_weight_gradient_cs(dgj, v_ev, v_free, lne, info)
+        np.testing.assert_allclose(np.asarray(g_cs), np.asarray(g_f),
+                                   atol=1e-4,
+                                   err_msg=f"seed={seed} lne={lne}")
+
+
+def test_cs_gradient_repeated_variable_factor():
+    """A factor mentioning the same variable twice: one owner record, one
+    gradient contribution — parity with the per-factor path."""
+    from sampler_tpu.engine.multichain import (_mc_weight_gradient_factors,
+                                               init_values_mc,
+                                               mc_weight_gradient_cs)
+
+    g = FactorGraph.build(
+        var_card=[2, 2],
+        weights=[0.7, -0.4],
+        factors=[(fs.FUNC_AND, 0, 1.0, [(0, True), (0, True), (1, True)]),
+                 (fs.FUNC_ISTRUE, 1, 1.0, [(1, True)])])
+    g.var_role[1] = 1
+    dg, info = compile_graph(g)
+    dgj = to_device(dg)
+    k0, k1 = jax.random.split(jax.random.PRNGKey(3))
+    v_ev = init_values_mc(dgj, k0, 8, info)
+    v_free = init_values_mc(dgj, k1, 8, info)
+    for lne in (False, True):
+        g_f = _mc_weight_gradient_factors(dgj, v_ev, v_free, lne, info)
+        g_cs = mc_weight_gradient_cs(dgj, v_ev, v_free, lne, info)
+        np.testing.assert_allclose(np.asarray(g_cs), np.asarray(g_f),
+                                   atol=1e-5)
+
+
+def test_cs_gradient_matches_factor_gradient_categorical():
+    from sampler_tpu.engine.multichain import (_mc_weight_gradient_factors,
+                                               init_values_mc,
+                                               mc_weight_gradient_cs)
+
+    for gmk in (fixtures.categorical_graph, fixtures.mixed_graph):
+        g = gmk()
+        dg, info = compile_graph(g)
+        dgj = to_device(dg)
+        k0, k1 = jax.random.split(jax.random.PRNGKey(7))
+        v_ev = init_values_mc(dgj, k0, 4, info)
+        v_free = init_values_mc(dgj, k1, 4, info)
+        for lne in (False, True):
+            g_f = _mc_weight_gradient_factors(dgj, v_ev, v_free, lne, info)
+            g_cs = mc_weight_gradient_cs(dgj, v_ev, v_free, lne, info)
+            np.testing.assert_allclose(np.asarray(g_cs), np.asarray(g_f),
+                                       atol=1e-4, err_msg=gmk.__name__)
