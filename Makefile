@@ -3,7 +3,7 @@
 
 PYTHON ?= python
 
-.PHONY: all native test bench dryrun scale-demo clean
+.PHONY: all native test bench test-bench dryrun scale-demo clean
 
 all: native
 
@@ -18,6 +18,10 @@ test: native
 # headline single-chip benchmark (one JSON line on stdout)
 bench:
 	$(PYTHON) bench.py
+
+# end-to-end smoke of bench.py itself (slow: cold XLA CPU compiles)
+test-bench:
+	SAMPLER_TPU_BENCH_SMOKE=1 $(PYTHON) -m pytest tests/test_bench.py -q
 
 # KBC-scale demonstration: 10.2M-variable grid compiled chunked and run
 # graph-sharded (halo exchange) on 8 virtual CPU devices

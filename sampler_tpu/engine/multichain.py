@@ -437,59 +437,116 @@ def sparse_comb_wids(dg, values):
     return jnp.where(base >= 0, wid, zero)
 
 
-def _cs_phi(dg, values, c, info, modes):
-    """φ for every incidence record of color ``c`` at the CURRENT values:
-    [B, D, NC].  Same gather machinery as the draw path (banded MXU gather
-    when enabled), but a single candidate — the variable's own value."""
-    nbr_lit, pos, eq, _ = _nbr_lits(dg, values, c, info, modes)
-    B = dg.cs_mask.shape[1]
-    NC = values.shape[-1]
-    A = dg.cs_mask.shape[-1]
+def _phi_streams(values, ownv, nbr, pos, eq, ismine, msk, typ, ar, hmask,
+                 bd_start_c, info, modes):
+    """φ for a row-slice of one color's incidence streams at the CURRENT
+    values: [rows, D, NC].  Same gather machinery as the draw path (banded
+    MXU gather when enabled), but a single candidate — the variable's own
+    value (ownv [rows, NC])."""
+    A = msk.shape[-1]
     A1 = A - 1
-    ownv = jax.lax.dynamic_slice(values, (c * B, 0), (B, NC))
+    NC = values.shape[-1]
     dt = values.dtype
+    if A1 == 0:
+        nbr_lit = jnp.zeros(nbr.shape + (NC,), bool)
+    elif modes[0] != "off":
+        from ..ops.banded import banded_gather
+
+        rows, D = nbr.shape[0], nbr.shape[1]
+        ntc = rows // info.band_tb
+        nbr2 = nbr.reshape(ntc, info.band_tb * D * A1)
+        vals = banded_gather(values, nbr2, bd_start_c, info.band_w, modes[0])
+        vals = vals.reshape(rows, D, A1, NC)
+    else:
+        vals = values[nbr]
+    if A1 > 0:
+        if eq is None:
+            nbr_lit = (vals == jnp.asarray(1, dt)) == pos[..., :A1, None]
+        else:
+            nbr_lit = (vals == eq[..., :A1, None].astype(dt)) \
+                == pos[..., :A1, None]
     if eq is None:
         own_lit = ((ownv[:, None, :] == jnp.asarray(1, dt))[:, :, None, :]
-                   == pos[:, :, :, None])                    # [B, D, A, NC]
+                   == pos[:, :, :, None])                  # [rows, D, A, NC]
     else:
         own_lit = ((ownv[:, None, None, :] == eq[..., None].astype(dt))
                    == pos[..., None])
-    is_mine = dg.cs_ismine[c]
-    lit_head = jnp.where(is_mine[..., :A1, None], own_lit[..., :A1, :],
+    lit_head = jnp.where(ismine[..., :A1, None], own_lit[..., :A1, :],
                          nbr_lit)
     lit = jnp.concatenate([lit_head, own_lit[..., A1:, :]], axis=-2)
     return _eval_phi_ax2(
-        lit,
-        dg.cs_mask[c][..., None],
-        dg.cs_type[c][:, :, None],
-        dg.cs_arity[c][:, :, None],
-        info.present_funcs,
-        hmask=dg.cs_hmask[c][..., None],
-    )                                                        # [B, D, NC]
+        lit, msk[..., None], typ[:, :, None], ar[:, :, None],
+        info.present_funcs, hmask=hmask[..., None],
+    )                                                      # [rows, D, NC]
+
+
+def _grad_row_chunk(info, B: int, D: int, A: int, NC: int) -> int:
+    """Rows per gradient sub-block: bounds the [rows, D, A, NC] literal
+    temporaries to ~64 MiB however large the color block is (the flagship
+    1M-var graph at NC=256 OOMs HBM without this).  Banded gathers need the
+    chunk tile-aligned."""
+    target = 1 << 26
+    step = info.band_tb if info.band_w else 1
+    rc = max(1, target // max(D * A * NC, 1))
+    rc = min(max(step, (rc // step) * step), B)
+    while rc > step and B % rc:
+        rc -= step
+    return rc if rc > 0 and B % rc == 0 else B
 
 
 def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
-                          modes=("off", "off")):
+                          modes=("off", "off"), row_chunk: int | None = None):
     """Weight gradient on the cs streams: each factor counted once via its
     compile-time owner record (cs_gowner / cs_gtouch), neighbor values
-    fetched with the same (banded) gather the sweep uses.  Equivalent to
-    the per-factor path for graphs without sparse per-combination weights
-    (tests/test_learning.py asserts equality)."""
+    fetched with the same (banded) gather the sweep uses, evaluated in
+    bounded row chunks.  Equivalent to the per-factor path for graphs
+    without sparse per-combination weights (tests/test_learning.py asserts
+    equality)."""
     W = dg.w_init.shape[0]
-    C = dg.cs_mask.shape[0]
+    C, B, D, A = dg.cs_mask.shape
+    A1 = A - 1
+    NC = v_ev.shape[-1]
+    rc = row_chunk or _grad_row_chunk(info, B, D, A, NC)
+    if B % rc:
+        raise ValueError(f"row_chunk {rc} must divide block size {B}")
+    nch = B // rc
+    TB = info.band_tb or 1
+    ntc = rc // TB if info.band_w else 1
+    ds = jax.lax.dynamic_slice
+    all_bool = info.all_boolean
 
-    def body(c, grad):
-        phi_e = _cs_phi(dg, v_ev, c, info, modes)
-        phi_f = _cs_phi(dg, v_free, c, info, modes)
-        gm = dg.cs_gowner[c] if learn_non_evidence else dg.cs_gtouch[c]
-        diff = jnp.mean(phi_e - phi_f, axis=-1) * dg.cs_feat[c]
+    def body(i, grad):
+        c = i // nch
+        r0 = (i % nch) * rc
+        nbr = ds(dg.cs_nbr, (c, r0, 0, 0), (1, rc, D, A1))[0]
+        pos = ds(dg.cs_pos, (c, r0, 0, 0), (1, rc, D, A))[0]
+        eq = (None if all_bool
+              else ds(dg.cs_eq, (c, r0, 0, 0), (1, rc, D, A))[0])
+        ismine = ds(dg.cs_ismine, (c, r0, 0, 0), (1, rc, D, A))[0]
+        msk = ds(dg.cs_mask, (c, r0, 0, 0), (1, rc, D, A))[0]
+        hmask = ds(dg.cs_hmask, (c, r0, 0, 0), (1, rc, D, A))[0]
+        typ = ds(dg.cs_type, (c, r0, 0), (1, rc, D))[0]
+        ar = ds(dg.cs_arity, (c, r0, 0), (1, rc, D))[0]
+        bd_c = (ds(dg.bd_start, (c, r0 // TB), (1, ntc))[0]
+                if info.band_w else dg.bd_start[0, :1])
+        own_e = ds(v_ev, (c * B + r0, 0), (rc, NC))
+        own_f = ds(v_free, (c * B + r0, 0), (rc, NC))
+        phi_e = _phi_streams(v_ev, own_e, nbr, pos, eq, ismine, msk, typ,
+                             ar, hmask, bd_c, info, modes)
+        phi_f = _phi_streams(v_free, own_f, nbr, pos, eq, ismine, msk, typ,
+                             ar, hmask, bd_c, info, modes)
+        gsrc = dg.cs_gowner if learn_non_evidence else dg.cs_gtouch
+        gm = ds(gsrc, (c, r0, 0), (1, rc, D))[0]
+        feat = ds(dg.cs_feat, (c, r0, 0), (1, rc, D))[0]
+        wid = ds(dg.cs_wid, (c, r0, 0), (1, rc, D))[0]
+        diff = jnp.mean(phi_e - phi_f, axis=-1) * feat
         diff = jnp.where(gm, diff, 0.0)
-        return grad + jax.ops.segment_sum(diff.ravel(),
-                                          dg.cs_wid[c].ravel(),
+        return grad + jax.ops.segment_sum(diff.ravel(), wid.ravel(),
                                           num_segments=W)
 
-    return jax.lax.fori_loop(0, C, body, jnp.zeros((W,), jnp.float32),
-                             unroll=(C <= 4))
+    n = C * nch
+    return jax.lax.fori_loop(0, n, body, jnp.zeros((W,), jnp.float32),
+                             unroll=(n <= 4))
 
 
 def mc_weight_gradient(dg, v_ev, v_free, learn_non_evidence: bool, info,

@@ -157,3 +157,26 @@ def test_cs_gradient_matches_factor_gradient_categorical():
             g_cs = mc_weight_gradient_cs(dgj, v_ev, v_free, lne, info)
             np.testing.assert_allclose(np.asarray(g_cs), np.asarray(g_f),
                                        atol=1e-4, err_msg=gmk.__name__)
+
+
+def test_cs_gradient_chunked_parity():
+    """Row-chunked gradient evaluation must be bit-for-bit-close to the
+    single-chunk evaluation (the chunking exists to bound HBM temporaries
+    on KBC-scale graphs)."""
+    from sampler_tpu.engine.multichain import (init_values_mc,
+                                               mc_weight_gradient_cs)
+
+    g = fixtures.random_boolean_graph(64, 150, max_arity=3, seed=5,
+                                      evidence_frac=0.25)
+    dg, info = compile_graph(g, align=8)
+    dgj = to_device(dg)
+    B = dg.cs_mask.shape[1]
+    k0, k1 = jax.random.split(jax.random.PRNGKey(11))
+    v_ev = init_values_mc(dgj, k0, 4, info)
+    v_free = init_values_mc(dgj, k1, 4, info)
+    g_full = mc_weight_gradient_cs(dgj, v_ev, v_free, False, info,
+                                   row_chunk=B)
+    g_chunk = mc_weight_gradient_cs(dgj, v_ev, v_free, False, info,
+                                    row_chunk=8)
+    np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_full),
+                               atol=1e-5)
