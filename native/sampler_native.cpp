@@ -165,9 +165,189 @@ EXPORT int64_t sampler_greedy_color(int64_t n_vars, int64_t n_factors,
 }
 
 // ---------------------------------------------------------------------------
-// text2bin fast path: parse a factor TSV buffer (lines of
-// "ftype\twid\tfeat\tvid:ispos[:eq]...") — optional; Python handles small
-// files.  Reserved for a future round.
+// Color-major incidence-stream builder — the multithreaded native twin of
+// the chunked numpy loop in compile.py (ref analog: FactorGraph::compile()
+// building the CompiledFactorGraph CSR — src/factor_graph.cc, recalled).
+// One call fills every cs_* stream (own-last slot permutation included)
+// and, for pairwise boolean graphs, the fused-path affine coefficients.
+// numpy remains the fallback; tests assert element parity.
 // ---------------------------------------------------------------------------
 
-EXPORT const char* sampler_native_version() { return "sampler-native-0.1"; }
+#include <cmath>
+#include <functional>
+#include <thread>
+
+namespace {
+
+// factor-function enum (format_spec.py)
+enum {
+  F_IMPLY_NAT = 0, F_OR = 1, F_AND = 2, F_EQUAL = 3, F_ISTRUE = 4,
+  F_LINEAR = 7, F_RATIO = 8, F_LOGICAL = 9, F_AND_CAT = 12, F_IMPLY_MLN = 13,
+};
+
+inline float phi_eval(int type, int nlit, int head, int n) {
+  switch (type) {
+    case F_AND: case F_AND_CAT: case F_IMPLY_NAT:
+      return nlit == n ? 1.f : 0.f;
+    case F_OR:
+      return nlit > 0 ? 1.f : 0.f;
+    case F_EQUAL:
+      return (nlit == 0 || nlit == n) ? 1.f : 0.f;
+    case F_ISTRUE:
+      return (float)head;
+    case F_IMPLY_MLN: {
+      int nbody = nlit - head, n_body = n > 1 ? n - 1 : 0;
+      return nbody < n_body ? 1.f : (float)head;
+    }
+    case F_LINEAR: case F_RATIO: case F_LOGICAL: {
+      int nbody = nlit - head, n_body = n > 1 ? n - 1 : 0;
+      float lin = head ? (float)n_body : (float)(n_body - nbody);
+      if (n == 1) lin = (float)head;
+      if (type == F_LINEAR) return lin;
+      if (type == F_RATIO) return log1pf(lin);
+      return lin > 0 ? 1.f : 0.f;
+    }
+    default:
+      return 0.f;
+  }
+}
+
+struct StreamArgs {
+  int64_t n_rows, D, A, P, dummy_pos;
+  int eq_is16, do_affine;
+  const int32_t* v_fidx;
+  const int32_t* f_vids;
+  const uint8_t* f_ispos;
+  const void* f_eqpred;
+  const uint8_t* f_mask;
+  const int8_t* f_type;
+  const int16_t* f_arity;
+  const int32_t* f_wid;
+  const float* f_feat;
+  const int32_t* f_minpos;
+  const uint8_t* f_touch;
+  int32_t* cs_nbr;
+  uint8_t *cs_ismine, *cs_hmask, *cs_pos, *cs_mask;
+  void* cs_eq;
+  int8_t* cs_type;
+  int16_t* cs_arity;
+  int32_t* cs_wid;
+  float* cs_feat;
+  uint8_t *cs_gowner, *cs_gtouch;
+  float *ab_a, *ab_b;
+};
+
+void build_rows(const StreamArgs& g, int64_t r0, int64_t r1) {
+  const int64_t D = g.D, A = g.A, A1 = A - 1;
+  // slot permutation scratch (A is small)
+  std::vector<int> perm(A);
+  for (int64_t p = r0; p < r1; ++p) {
+    for (int64_t d = 0; d < D; ++d) {
+      const int64_t fi = g.v_fidx[p * D + d];
+      const int32_t* mv = g.f_vids + fi * A;
+      const uint8_t* msk = g.f_mask + fi * A;
+      const int16_t ar = g.f_arity[fi];
+      // stable own-last: neighbor slots first, own slots after
+      int np_ = 0;
+      for (int a = 0; a < A; ++a)
+        if (mv[a] != (int32_t)p) perm[np_++] = a;
+      int n_nbr = np_;
+      for (int a = 0; a < A; ++a)
+        if (mv[a] == (int32_t)p) perm[np_++] = a;
+
+      const int64_t rd = p * D + d;          // [rows, D] index
+      const int64_t rda = rd * A;            // [rows, D, A] base
+      for (int s = 0; s < A; ++s) {
+        const int a = perm[s];
+        const bool mine = mv[a] == (int32_t)p;
+        g.cs_ismine[rda + s] = mine;
+        g.cs_hmask[rda + s] = msk[a] && (a == ar - 1);
+        g.cs_pos[rda + s] = g.f_ispos[fi * A + a];
+        g.cs_mask[rda + s] = msk[a];
+        if (g.cs_eq) {
+          if (g.eq_is16)
+            ((int16_t*)g.cs_eq)[rda + s] =
+                ((const int16_t*)g.f_eqpred)[fi * A + a];
+          else
+            ((int32_t*)g.cs_eq)[rda + s] =
+                ((const int32_t*)g.f_eqpred)[fi * A + a];
+        }
+        if (s < A1)
+          g.cs_nbr[rd * A1 + s] = mine ? (int32_t)g.dummy_pos : mv[a];
+      }
+      g.cs_type[rd] = g.f_type[fi];
+      g.cs_arity[rd] = ar;
+      g.cs_wid[rd] = g.f_wid[fi];
+      g.cs_feat[rd] = g.f_feat[fi];
+      const bool owner = g.f_minpos[fi] == (int32_t)p;
+      g.cs_gowner[rd] = owner;
+      g.cs_gtouch[rd] = owner && g.f_touch[fi];
+
+      if (g.do_affine) {
+        // delta-phi affine coefficients in the single neighbor value
+        // (A <= 2; see ops/fused.py affine_pairwise)
+        float ph[2][2];  // [k][v]
+        const int type = g.cs_type[rd];
+        int n = 0;
+        for (int s = 0; s < A; ++s) n += g.cs_mask[rda + s] ? 1 : 0;
+        for (int k = 0; k < 2; ++k)
+          for (int v = 0; v < 2; ++v) {
+            int nlit = 0, head = 0;
+            for (int s = 0; s < A; ++s) {
+              if (!g.cs_mask[rda + s]) continue;
+              const int val = g.cs_ismine[rda + s] ? k : v;
+              const int lit = (val == 1) == (g.cs_pos[rda + s] != 0);
+              nlit += lit;
+              if (lit && g.cs_hmask[rda + s]) head = 1;
+            }
+            ph[k][v] = phi_eval(type, nlit, head, n);
+          }
+        const float d0 = ph[1][0] - ph[0][0];
+        g.ab_a[rd] = d0;
+        g.ab_b[rd] = (ph[1][1] - ph[0][1]) - d0;
+      }
+      (void)n_nbr;
+    }
+  }
+}
+
+}  // namespace
+
+EXPORT int64_t sampler_build_streams(
+    int64_t n_rows, int64_t D, int64_t A, int64_t P, int64_t dummy_pos,
+    int64_t eq_is16, int64_t do_affine, int64_t n_threads,
+    const int32_t* v_fidx, const int32_t* f_vids, const uint8_t* f_ispos,
+    const void* f_eqpred, const uint8_t* f_mask, const int8_t* f_type,
+    const int16_t* f_arity, const int32_t* f_wid, const float* f_feat,
+    const int32_t* f_minpos, const uint8_t* f_touch,
+    int32_t* cs_nbr, uint8_t* cs_ismine, uint8_t* cs_hmask, uint8_t* cs_pos,
+    uint8_t* cs_mask, void* cs_eq, int8_t* cs_type, int16_t* cs_arity,
+    int32_t* cs_wid, float* cs_feat, uint8_t* cs_gowner, uint8_t* cs_gtouch,
+    float* ab_a, float* ab_b) {
+  if (A < 1 || D < 1 || n_rows < 0) return -1;
+  if (do_affine && (A > 2 || !ab_a || !ab_b)) return -2;
+  StreamArgs g{n_rows, D, A, P, dummy_pos, (int)eq_is16, (int)do_affine,
+               v_fidx, f_vids, f_ispos, f_eqpred, f_mask, f_type, f_arity,
+               f_wid, f_feat, f_minpos, f_touch,
+               cs_nbr, cs_ismine, cs_hmask, cs_pos, cs_mask, cs_eq,
+               cs_type, cs_arity, cs_wid, cs_feat, cs_gowner, cs_gtouch,
+               ab_a, ab_b};
+  int64_t nt = n_threads > 0 ? n_threads
+                             : (int64_t)std::thread::hardware_concurrency();
+  nt = std::max<int64_t>(1, std::min<int64_t>(nt, 64));
+  if (nt == 1 || n_rows < (int64_t)1 << 14) {
+    build_rows(g, 0, n_rows);
+    return 0;
+  }
+  std::vector<std::thread> ts;
+  const int64_t step = (n_rows + nt - 1) / nt;
+  for (int64_t t = 0; t < nt; ++t) {
+    const int64_t r0 = t * step, r1 = std::min(n_rows, r0 + step);
+    if (r0 >= r1) break;
+    ts.emplace_back(build_rows, std::cref(g), r0, r1);
+  }
+  for (auto& th : ts) th.join();
+  return 0;
+}
+
+EXPORT const char* sampler_native_version() { return "sampler-native-0.2"; }

@@ -325,10 +325,39 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
     if affine_cand:
         from .ops.fused import affine_pairwise
 
+    # native multithreaded builder (sparse-cw graphs stay on numpy)
+    used_native = False
+    if not has_cw:
+        from . import native as native_mod
+
+        outs = {
+            "cs_nbr": cs_nbr.reshape(C * B, D, A1),
+            "cs_ismine": cs_ismine.reshape(C * B, D, A),
+            "cs_hmask": cs_hmask.reshape(C * B, D, A),
+            "cs_pos": cs_pos.reshape(C * B, D, A),
+            "cs_mask": cs_mask.reshape(C * B, D, A),
+            "cs_type": cs_type.reshape(C * B, D),
+            "cs_arity": cs_arity.reshape(C * B, D),
+            "cs_wid": cs_wid.reshape(C * B, D),
+            "cs_feat": cs_feat.reshape(C * B, D),
+            "cs_gowner": cs_gowner.reshape(C * B, D),
+            "cs_gtouch": cs_gtouch.reshape(C * B, D),
+        }
+        if not all_boolean:
+            outs["cs_eq"] = cs_eq.reshape(C * B, D, A)
+        if affine_cand:
+            outs["ab_a"] = ab_a.reshape(C * B, D)
+            outs["ab_b"] = ab_b.reshape(C * B, D)
+        used_native = native_mod.build_streams(
+            np.ascontiguousarray(v_fidx[:-1]), f_vids, f_ispos, f_eqpred,
+            f_mask, f_type, f_arity, f_wid, f_feat,
+            np.ascontiguousarray(f_minpos, np.int32), f_touch,
+            outs, P, DUMMY, do_affine=affine_cand)
+
     take = np.take_along_axis
     iota_a = np.arange(A, dtype=np.int16)[None, None, :]
     CHUNK = max(1, (1 << 24) // max(D * A, 1))
-    for c in range(C):
+    for c in range(C if not used_native else 0):
         for b0 in range(0, B, CHUNK):
             b1 = min(b0 + CHUNK, B)
             fi = v_fidx[c * B + b0: c * B + b1]        # [n, D]

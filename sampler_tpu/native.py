@@ -41,6 +41,10 @@ def _load() -> Optional[ctypes.CDLL]:
 
 
 def available() -> bool:
+    """Native library usable?  SAMPLER_TPU_NATIVE=0 forces the pure-Python
+    fallbacks (used by the native/python parity tests)."""
+    if os.environ.get("SAMPLER_TPU_NATIVE", "1") == "0":
+        return False
     return _load() is not None
 
 
@@ -110,3 +114,51 @@ def greedy_color(n_vars: int, f_ptr: np.ndarray, e_vid: np.ndarray):
     if n <= 0:
         raise RuntimeError("native coloring failed")
     return colors
+
+
+def build_streams(v_fidx, f_vids, f_ispos, f_eqpred, f_mask, f_type,
+                  f_arity, f_wid, f_feat, f_minpos, f_touch,
+                  outs: dict, P: int, dummy_pos: int, do_affine: bool,
+                  n_threads: int = 0) -> bool:
+    """Native multithreaded fill of the color-major incidence streams.
+
+    ``outs`` maps field name -> preallocated array VIEWS shaped
+    [n_rows, D(, A...)] (compile.py passes its [C, B, ...] outputs reshaped
+    flat).  Returns False when the library is unavailable (caller falls
+    back to the numpy chunk loop).  Sparse-combination streams are NOT
+    handled here — compile.py keeps those on the numpy path.
+    """
+    lib = _load() if available() else None
+    if lib is None or not hasattr(lib, "sampler_build_streams"):
+        return False
+    lib.sampler_build_streams.restype = ctypes.c_int64
+    n_rows, D = v_fidx.shape
+    A = f_vids.shape[1]
+    eq = outs.get("cs_eq")
+    eq_is16 = 1 if (eq is not None and eq.dtype == np.int16) else 0
+    if eq is not None and f_eqpred.dtype != eq.dtype:
+        raise ValueError("f_eqpred dtype must match cs_eq dtype")
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    null = ctypes.c_void_p()
+    rc = lib.sampler_build_streams(
+        ctypes.c_int64(n_rows), ctypes.c_int64(D), ctypes.c_int64(A),
+        ctypes.c_int64(P), ctypes.c_int64(dummy_pos),
+        ctypes.c_int64(eq_is16), ctypes.c_int64(1 if do_affine else 0),
+        ctypes.c_int64(n_threads),
+        ptr(v_fidx), ptr(f_vids), ptr(f_ispos),
+        ptr(f_eqpred) if eq is not None else null,
+        ptr(f_mask), ptr(f_type), ptr(f_arity), ptr(f_wid), ptr(f_feat),
+        ptr(f_minpos), ptr(f_touch),
+        ptr(outs["cs_nbr"]), ptr(outs["cs_ismine"]), ptr(outs["cs_hmask"]),
+        ptr(outs["cs_pos"]), ptr(outs["cs_mask"]),
+        ptr(eq) if eq is not None else null,
+        ptr(outs["cs_type"]), ptr(outs["cs_arity"]), ptr(outs["cs_wid"]),
+        ptr(outs["cs_feat"]), ptr(outs["cs_gowner"]), ptr(outs["cs_gtouch"]),
+        ptr(outs["ab_a"]) if do_affine else null,
+        ptr(outs["ab_b"]) if do_affine else null)
+    if rc != 0:
+        raise RuntimeError(f"native build_streams failed (rc={rc})")
+    return True
