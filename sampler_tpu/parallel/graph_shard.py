@@ -90,11 +90,14 @@ def halo_plan(bd_lo, bd_hi, band_w: int, B: int, n_graph: int):
 
 
 def _sharded_color_step(dg_l, values, weights, key, c, sample_evidence, info,
-                        n_graph: int, modes=("off", "off"), halo=None):
+                        n_graph: int, modes=("off", "off"), halo=None,
+                        folded=None):
     """One color step where this device owns rows [g*Bl, (g+1)*Bl) of the
     block (dg_l holds the LOCAL stream slice; values are full [P, NC] —
     plus Bl scratch rows at the end in halo mode, where only the positions
-    this device ever reads are kept fresh)."""
+    this device ever reads are kept fresh).  ``folded`` holds the LOCAL
+    fused-affine fold (prepare_fold on the shard's slice) when the fused
+    kernel is enabled."""
     Bl = dg_l.cs_mask.shape[1]        # local block rows
     B = Bl * n_graph
     g = jax.lax.axis_index("graph")
@@ -103,7 +106,7 @@ def _sharded_color_step(dg_l, values, weights, key, c, sample_evidence, info,
     # cs_ismine is streamed, so the logits need no positional info; the key
     # MUST differ per graph shard or the block draw would reuse noise
     key = jax.random.fold_in(key, g)
-    drawn = color_draw_mc(dg_l, values, weights, key, c, info, None, modes)
+    drawn = color_draw_mc(dg_l, values, weights, key, c, info, folded, modes)
 
     resample = (dg_l.cm_resample_ev[c] if sample_evidence
                 else dg_l.cm_resample[c])
@@ -139,14 +142,14 @@ def _sharded_color_step(dg_l, values, weights, key, c, sample_evidence, info,
 
 
 def sweep_gs(dg_l, values, weights, key, sample_evidence: bool, info,
-             n_graph: int, modes=("off", "off"), halo=None):
+             n_graph: int, modes=("off", "off"), halo=None, folded=None):
     C = dg_l.cs_mask.shape[0]
 
     def body(c, vals):
         ck = jax.random.fold_in(key, c)
         return _sharded_color_step(dg_l, vals, weights, ck, c,
                                    sample_evidence, info, n_graph, modes,
-                                   halo)
+                                   halo, folded)
 
     return jax.lax.fori_loop(0, C, body, values, unroll=(C <= 4))
 
@@ -154,21 +157,28 @@ def sweep_gs(dg_l, values, weights, key, sample_evidence: bool, info,
 def shard_device_graph(dg, mesh: Mesh):
     """device_put the DeviceGraph: cs_*/cm_* sharded over 'graph' on their
     B axis, everything else replicated."""
+    specs = _dg_specs(dg)
+    return type(dg)(*(
+        jax.device_put(getattr(dg, n), NamedSharding(mesh, specs[n]))
+        for n in dg._fields))
+
+
+def _dg_specs(dg) -> dict:
+    """Per-field PartitionSpec: cs_/cm_/ab_ streams shard their B axis and
+    bd_ plans their tile axis over 'graph'; everything else (weights,
+    factor records, metadata, disabled [C, 1] placeholders) replicates."""
     B = dg.cs_mask.shape[1]
     specs = {}
     for name in dg._fields:
-        if (name.startswith(("cs_", "cm_"))
+        if (name.startswith(("cs_", "cm_", "ab_"))
                 and getattr(dg, name).shape[1] == B) or (
                 name.startswith("bd_") and getattr(dg, name).shape[1] > 1):
             # axis 1 is B (streams) or ntiles (banding plan) — both are
             # contiguous slices of the color block, so they co-shard
-            # (disabled [C, 1] plans / placeholder streams stay replicated)
             specs[name] = P(None, "graph")
         else:
             specs[name] = P()
-    return type(dg)(*(
-        jax.device_put(getattr(dg, n), NamedSharding(mesh, specs[n]))
-        for n in dg._fields))
+    return specs
 
 
 def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
@@ -202,13 +212,7 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
         halo = halo_plan(jax.device_get(dg.bd_lo), jax.device_get(dg.bd_hi),
                          info.band_w, B, n_graph)
 
-    B_full = dg.cs_mask.shape[1]
-    cs_spec = {n: (P(None, "graph")
-                   if (n.startswith(("cs_", "cm_"))
-                       and getattr(dg, n).shape[1] == B_full)
-                   or (n.startswith("bd_") and getattr(dg, n).shape[1] > 1)
-                   else P())
-               for n in dg._fields}
+    cs_spec = _dg_specs(dg)
     dg_spec = type(dg)(*(cs_spec[n] for n in dg._fields))
 
     @partial(
@@ -217,9 +221,12 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
         out_specs=P(),
     )
     def run(dg_l, w, keys):
+        from ..engine.multichain import prepare_fold
+
         key_l = keys[0]
         k_init, k_run = jax.random.split(key_l)
         vals = init_values_mc(dg_l, k_init, chains_per_device, info)
+        folded = prepare_fold(dg_l, w, info, modes)   # local-shard fold
         Bl = B // n_graph
         P = vals.shape[0]
         if halo is not None:
@@ -246,7 +253,7 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
             vals, counts = carry
             kk = jax.random.fold_in(k_run, i)
             vals = sweep_gs(dg_l, vals, w, kk, sample_evidence, info,
-                            n_graph, modes, halo)
+                            n_graph, modes, halo, folded)
             tally = jnp.where(i >= n_burn, 1, 0)
             onehot = (vals[:P].astype(jnp.int32)[:, None, :]
                       == ks[None, :, None])

@@ -87,3 +87,25 @@ def test_block_divisibility_check():
         pytest.skip("needs 3 devices")
     with pytest.raises(ValueError):
         infer_gs(dgj, dgj.w_init, jax.random.PRNGKey(0), 1, 1, info, mesh, 1)
+
+
+def test_graph_sharded_fused_kernel():
+    """The fused affine Pallas kernel (interpret mode on CPU) must run
+    under graph sharding with a local-shard fold and sample the same
+    distribution as the unfused sharded sweep."""
+    from sampler_tpu.benchgraphs import big_ising_grid
+
+    g, colors = big_ising_grid(16, 16, w_pair=0.3, w_bias=0.2)
+    dg, info = compile_graph(g, colors=colors, align=16, band_tile=8,
+                             band_min_block=1)
+    assert info.affine2
+    dgj = to_device(dg)
+    mesh = make_mesh(4, 2)
+    kwargs = dict(n_burn=150, n_sweeps=1500, info=info, mesh=mesh,
+                  chains_per_device=4)
+    m_fused = infer_gs(dgj, dgj.w_init, jax.random.PRNGKey(2),
+                       modes=("interpret", "interpret"), **kwargs)
+    m_plain = infer_gs(dgj, dgj.w_init, jax.random.PRNGKey(3),
+                       modes=("interpret", "off"), **kwargs)
+    d = np.abs(np.asarray(m_fused) - np.asarray(m_plain)).max()
+    assert d < 0.05, f"fused vs plain sharded marginals differ by {d:.3f}"
