@@ -495,13 +495,20 @@ def _grad_row_chunk(info, B: int, D: int, A: int, NC: int) -> int:
 
 
 def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
-                          modes=("off", "off"), row_chunk: int | None = None):
+                          modes=("off", "off"), row_chunk: int | None = None,
+                          global_B: int | None = None, row_origin=0):
     """Weight gradient on the cs streams: each factor counted once via its
     compile-time owner record (cs_gowner / cs_gtouch), neighbor values
     fetched with the same (banded) gather the sweep uses, evaluated in
     bounded row chunks.  Equivalent to the per-factor path for graphs
     without sparse per-combination weights (tests/test_learning.py asserts
-    equality)."""
+    equality).
+
+    Under graph sharding ``dg`` holds a LOCAL stream slice while the values
+    vector stays global: pass the GLOBAL block size as ``global_B`` and the
+    shard's first row within each color block as ``row_origin`` so the
+    own-value slices index the right rows (owner records are disjoint
+    across shards, so shard gradients psum over the graph axis)."""
     W = dg.w_init.shape[0]
     C, B, D, A = dg.cs_mask.shape
     A1 = A - 1
@@ -529,8 +536,10 @@ def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
         ar = ds(dg.cs_arity, (c, r0, 0), (1, rc, D))[0]
         bd_c = (ds(dg.bd_start, (c, r0 // TB), (1, ntc))[0]
                 if info.band_w else dg.bd_start[0, :1])
-        own_e = ds(v_ev, (c * B + r0, 0), (rc, NC))
-        own_f = ds(v_free, (c * B + r0, 0), (rc, NC))
+        own0 = c * (global_B if global_B is not None else B) \
+            + row_origin + r0
+        own_e = ds(v_ev, (own0, 0), (rc, NC))
+        own_f = ds(v_free, (own0, 0), (rc, NC))
         phi_e = _phi_streams(v_ev, own_e, nbr, pos, eq, ismine, msk, typ,
                              ar, hmask, bd_c, info, modes)
         phi_f = _phi_streams(v_free, own_f, nbr, pos, eq, ismine, msk, typ,

@@ -37,7 +37,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..engine.multichain import (color_draw_mc, demote_modes,
-                                 init_values_mc, resolve_modes)
+                                 init_values_mc, mc_weight_gradient_cs,
+                                 resolve_modes)
 
 
 def make_mesh(n_chains: int, n_graph: int, devices=None) -> Mesh:
@@ -275,3 +276,94 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
         1 if halo is not None else n_graph)
     marg = counts[dg.pos_of_vid].astype(jnp.float32) / jnp.float32(total)
     return marg
+
+
+def learn_gs(dg, weights, key, cfg, info, mesh: Mesh,
+             chains_per_device: int, modes=None, halo="auto"):
+    """Contrastive-SGD learning on the ("chains", "graph") mesh — weight
+    learning for graphs whose streams exceed one chip's HBM.
+
+    Both worlds sweep with sweep_gs (halo exchange included); the gradient
+    is evaluated on each shard's LOCAL streams via the owner-deduped cs
+    path (owner records are disjoint across graph shards), then psum'd over
+    'graph' and pmean'd over 'chains' — same update rule and fixed points
+    as engine.multichain.learn_mc (SURVEY.md §2c).  Returns final weights
+    (replicated) as a host array."""
+    from ..engine.learn import apply_update
+    from ..engine.multichain import prepare_fold
+
+    if info.has_sparse_cw:
+        raise NotImplementedError(
+            "graph-sharded learning does not support sparse "
+            "per-combination weights yet; use parallel.chains.learn_sharded")
+    n_chains_ax = mesh.shape["chains"]
+    n_graph = mesh.shape["graph"]
+    if modes is None:
+        modes = resolve_modes(info)
+    modes = demote_modes(modes, chains_per_device)
+    B = dg.cs_mask.shape[1]
+    if B % n_graph:
+        raise ValueError(
+            f"block size {B} not divisible by graph axis {n_graph}; "
+            f"compile with align=8*{n_graph}")
+    if halo == "auto":
+        halo = halo_plan(jax.device_get(dg.bd_lo), jax.device_get(dg.bd_hi),
+                         info.band_w, B, n_graph)
+
+    cs_spec = _dg_specs(dg)
+    dg_spec = type(dg)(*(cs_spec[n] for n in dg._fields))
+
+    @partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(dg_spec, P(), P("chains")),
+        out_specs=P(),
+    )
+    def run(dg_l, w0, keys):
+        g = jax.lax.axis_index("graph")
+        Bl = B // n_graph
+        key_l = keys[0]
+        k0, k1, kscan = jax.random.split(key_l, 3)
+        v_ev = init_values_mc(dg_l, k0, chains_per_device, info)
+        v_free = init_values_mc(dg_l, k1, chains_per_device, info)
+        if halo is not None:
+            v_ev = jnp.pad(v_ev, ((0, Bl), (0, 0)))
+            v_free = jnp.pad(v_free, ((0, Bl), (0, 0)))
+        v_ev = jax.lax.pcast(v_ev, ("graph",), to="varying")
+        v_free = jax.lax.pcast(v_free, ("graph",), to="varying")
+
+        def epoch(carry, i):
+            w, v_ev, v_free, alpha = carry
+            ki = jax.random.fold_in(kscan, i)
+            folded = prepare_fold(dg_l, w, info, modes)
+
+            def one_sweep(cwv, j):
+                v_ev, v_free = cwv
+                kj = jax.random.fold_in(ki, j)
+                v_ev = sweep_gs(dg_l, v_ev, w, jax.random.fold_in(kj, 0),
+                                False, info, n_graph, modes, halo, folded)
+                v_free = sweep_gs(dg_l, v_free, w, jax.random.fold_in(kj, 1),
+                                  True, info, n_graph, modes, halo, folded)
+                return (v_ev, v_free), None
+
+            (v_ev, v_free), _ = jax.lax.scan(
+                one_sweep, (v_ev, v_free),
+                jnp.arange(cfg.n_sweeps_per_epoch))
+            grad = mc_weight_gradient_cs(
+                dg_l, v_ev, v_free, cfg.learn_non_evidence, info, modes,
+                global_B=B, row_origin=g * Bl)
+            grad = jax.lax.psum(grad, "graph")
+            grad = jax.lax.pmean(grad, "chains")
+            w = apply_update(w, grad, dg_l.w_fixed, alpha,
+                             cfg.regularization, cfg.reg_param)
+            return (w, v_ev, v_free, alpha * cfg.diminish), None
+
+        init = (jnp.asarray(w0, jnp.float32), v_ev, v_free,
+                jnp.float32(cfg.stepsize))
+        (w, _, _, _), _ = jax.lax.scan(epoch, init,
+                                       jnp.arange(cfg.n_epochs))
+        # the weight trajectory is graph-invariant (psum'd grads) but the
+        # type system saw varying inputs; reduce to prove replication
+        return jax.lax.pmean(w, ("chains", "graph"))
+
+    keys = jax.random.split(key, n_chains_ax)
+    return run(dg, weights, keys)

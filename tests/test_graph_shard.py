@@ -109,3 +109,52 @@ def test_graph_sharded_fused_kernel():
                        modes=("interpret", "off"), **kwargs)
     d = np.abs(np.asarray(m_fused) - np.asarray(m_plain)).max()
     assert d < 0.05, f"fused vs plain sharded marginals differ by {d:.3f}"
+
+
+def test_graph_sharded_learning_recovers_log_odds():
+    """learn_gs (model-parallel learning: streams sharded over 'graph',
+    owner-disjoint shard gradients psum'd) must reach the same fixed point
+    as single-device learning."""
+    from sampler_tpu.engine.learn import LearnConfig
+    from sampler_tpu.parallel.graph_shard import learn_gs
+
+    g = fixtures.labeled_coin_graph(n_flips=400, p_heads=0.75, seed=2)
+    p_hat = g.var_init.mean()
+    w_star = float(np.log(p_hat / (1 - p_hat)))
+    dg, info = compile_graph(g, align=8 * 2)
+    dgj = to_device(dg)
+    mesh = make_mesh(4, 2)
+    cfg = LearnConfig(n_epochs=300, stepsize=0.03, diminish=0.995,
+                      regularization="none")
+    w = np.asarray(learn_gs(dgj, dgj.w_init, jax.random.PRNGKey(0), cfg,
+                            info, mesh, chains_per_device=2))
+    assert abs(float(w[0]) - w_star) < 0.15, \
+        f"learned {float(w[0]):.3f}, want {w_star:.3f}"
+
+
+def test_graph_sharded_learning_halo_parity():
+    """Halo-exchange learning must produce BITWISE the same weights as the
+    all_gather version: sweeps read identical fresh values and owner
+    gradients read only own rows + windows."""
+    from sampler_tpu.benchgraphs import big_ising_grid
+    from sampler_tpu.engine.learn import LearnConfig
+    from sampler_tpu.parallel.graph_shard import halo_plan, learn_gs
+
+    n_graph = 4
+    g, colors = big_ising_grid(64, 64)
+    g.var_role[::2] = 1
+    g.var_init[::2] = (np.arange((g.n_vars + 1) // 2) % 2).astype(np.int32)
+    dg, info = compile_graph(g, colors=colors, align=8 * n_graph,
+                             band_tile=128, band_min_block=1)
+    B = dg.cs_mask.shape[1]
+    assert halo_plan(dg.bd_lo, dg.bd_hi, info.band_w, B, n_graph) is not None
+    dgj = to_device(dg)
+    mesh = make_mesh(2, n_graph)
+    cfg = LearnConfig(n_epochs=4, n_sweeps_per_epoch=1, stepsize=0.05,
+                      regularization="l2", reg_param=0.01)
+    kwargs = dict(cfg=cfg, info=info, mesh=mesh, chains_per_device=2)
+    w_halo = learn_gs(dgj, dgj.w_init, jax.random.PRNGKey(5), halo="auto",
+                      **kwargs)
+    w_full = learn_gs(dgj, dgj.w_init, jax.random.PRNGKey(5), halo=None,
+                      **kwargs)
+    np.testing.assert_array_equal(np.asarray(w_halo), np.asarray(w_full))
