@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("-c", "--n_datacopy", type=int, default=None,
                    help="compat alias (NUMA replicas → chains)")
     g.add_argument("--n_chains", type=int, default=1)
+    g.add_argument("--n_graph_shards", type=int, default=1,
+                   help="shard the graph streams over this many devices "
+                        "(model parallelism for >HBM graphs); the remaining "
+                        "devices form the chains axis")
     g.add_argument("--regularization", choices=["l1", "l2"], default=None)
     g.add_argument("--reg_param", type=float, default=0.0)
     g.add_argument("--sample_evidence", action="store_true")
@@ -85,10 +89,12 @@ def cmd_gibbs(args) -> int:
         jax.config.update("jax_platforms",
                           "cpu" if args.platform == "cpu" else "axon")
     # persistent XLA compile cache: repeat runs of same-shaped graphs skip
-    # the minutes-long cold compile on the TPU backend
+    # the minutes-long cold compile on the TPU backend.  CPU is excluded:
+    # its compiles are fast and its AOT artifacts are machine-feature
+    # sensitive (cross-host cache hits risk SIGILL).
     cache = os.environ.get("SAMPLER_TPU_COMPILE_CACHE",
                            os.path.expanduser("~/.cache/sampler_tpu_xla"))
-    if cache and cache.lower() != "off":
+    if cache and cache.lower() != "off" and jax.default_backend() != "cpu":
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -103,8 +109,9 @@ def cmd_gibbs(args) -> int:
         f"{graph.n_weights} weights, {graph.n_edges} edges "
         f"[{time.time()-t0:.2f}s]")
 
+    n_graph = max(args.n_graph_shards, 1)
     t0 = time.time()
-    dg, info = compile_graph(graph)
+    dg, info = compile_graph(graph, align=8 * n_graph)
     dgj = to_device(dg)
     log(f"compiled: {info.n_colors} colors, block {info.block_size}, "
         f"degree {info.max_degree}, arity {info.max_arity} "
@@ -117,6 +124,16 @@ def cmd_gibbs(args) -> int:
     n_chains = args.n_chains
     if args.n_threads:
         n_chains = max(n_chains, args.n_threads)
+
+    if n_graph > 1:
+        if args.checkpoint_every or args.resume:
+            raise SystemExit(
+                "--n_graph_shards does not support --checkpoint_every/"
+                "--resume yet")
+        weights, marg = _run_gibbs_sharded(args, log, dgj, info, weights,
+                                           k_learn, k_inf, n_chains, n_graph)
+        _write_outputs(args, log, graph, info, weights, marg)
+        return 0
 
     every = args.checkpoint_every
     ckpt_path = args.checkpoint
@@ -147,6 +164,13 @@ def cmd_gibbs(args) -> int:
             jax.profiler.stop_trace()
             log(f"profiler trace written to {args.profile}")
 
+    _write_outputs(args, log, graph, info, weights, marg)
+    return 0
+
+
+def _write_outputs(args, log, graph, info, weights, marg):
+    from .io import results
+
     os.makedirs(args.outdir, exist_ok=True)
     results.write_marginals(graph, marg,
                             os.path.join(args.outdir, "inference_result.out.text"))
@@ -155,7 +179,48 @@ def cmd_gibbs(args) -> int:
                               os.path.join(args.outdir,
                                            "inference_result.out.weights.text"))
     log(f"wrote {args.outdir}/inference_result.out.text")
-    return 0
+
+
+def _run_gibbs_sharded(args, log, dgj, info, weights, k_learn, k_inf,
+                       n_chains, n_graph):
+    """Learn + infer on a ("chains", "graph") mesh: graph streams sharded
+    over ``n_graph`` devices (model parallelism for >HBM graphs), remaining
+    devices data-parallel over chains."""
+    import jax
+
+    from .engine.learn import LearnConfig
+    from .parallel.graph_shard import infer_gs, learn_gs, make_mesh
+
+    n_dev = len(jax.devices())
+    if n_dev % n_graph or n_dev < n_graph:
+        raise SystemExit(f"--n_graph_shards {n_graph} does not divide the "
+                         f"{n_dev} available devices")
+    mesh = make_mesh(n_dev // n_graph, n_graph)
+    log(f"mesh: chains={n_dev // n_graph} x graph={n_graph}, "
+        f"{n_chains} chains/device")
+
+    if args.n_learning_epoch > 0:
+        cfg = LearnConfig(
+            n_epochs=args.n_learning_epoch,
+            n_sweeps_per_epoch=args.n_samples_per_learning_epoch,
+            stepsize=args.alpha, diminish=args.diminish,
+            regularization=args.regularization or "none",
+            reg_param=args.reg_param,
+            learn_non_evidence=args.learn_non_evidence)
+        t0 = time.time()
+        weights = learn_gs(dgj, weights, k_learn, cfg, info, mesh,
+                           chains_per_device=n_chains)
+        log(f"learning: {args.n_learning_epoch} epochs "
+            f"[{time.time()-t0:.2f}s]")
+
+    t0 = time.time()
+    marg = infer_gs(dgj, weights, k_inf, n_burn=args.burn_in,
+                    n_sweeps=args.n_inference_epoch, info=info, mesh=mesh,
+                    chains_per_device=n_chains,
+                    sample_evidence=args.sample_evidence)
+    log(f"inference: {args.n_inference_epoch} sweeps "
+        f"(+{args.burn_in} burn-in) [{time.time()-t0:.2f}s]")
+    return weights, marg
 
 
 _fault_counter = [0]

@@ -131,3 +131,27 @@ def test_text2bin_bin2text_round_trip(tmp_path):
         back = tmp_path / f"{rel}.tsv2"
         assert run_cli(["bin2text", rel, str(binf), str(back)]) == 0
         assert back.read_text().strip() == tsv.read_text().strip()
+
+
+def test_gibbs_graph_sharded_cli(tmp_path):
+    """--n_graph_shards routes through the (chains, graph) mesh: learning
+    via learn_gs, inference via infer_gs, same outputs and oracle parity."""
+    g = fixtures.ising_grid(3, 3, w_pair=0.4, w_bias=0.3)
+    outdir = str(tmp_path / "out")
+    binary.write_graph(g, str(tmp_path))
+    rc = run_cli([
+        "gibbs",
+        "-w", str(tmp_path / "graph.weights"),
+        "-v", str(tmp_path / "graph.variables"),
+        "-f", str(tmp_path / "graph.factors"),
+        "-m", str(tmp_path / "graph.meta"),
+        "-o", outdir,
+        "-i", "2000", "-b", "200", "--n_chains", "4",
+        "--n_graph_shards", "2", "--quiet",
+    ])
+    assert rc == 0
+    parsed = results.read_marginals(os.path.join(outdir,
+                                                 "inference_result.out.text"))
+    exact = oracle.exact_marginals(g)
+    errs = [abs(p - exact[vid, 1]) for vid, cat, p in parsed]
+    assert max(errs) < 0.015
