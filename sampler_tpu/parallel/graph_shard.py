@@ -164,6 +164,24 @@ def shard_device_graph(dg, mesh: Mesh):
         for n in dg._fields))
 
 
+def _strip_factor_records(dg):
+    """Replace the per-factor record arrays and pos_of_vid with 1-row
+    placeholders before a graph-sharded run: the sweep never reads them
+    (they serve the per-factor gradient / sparse-weight / output paths),
+    but shard_map would REPLICATE them onto every device — at KBC scale
+    that is tens of GB of wasted device memory (the 10^8-var attempt
+    OOM'd the host exactly this way)."""
+    A = dg.f_vids.shape[1]
+    z = np.zeros
+    return dg._replace(
+        f_vids=z((1, A), np.int32), f_ispos=z((1, A), bool),
+        f_eqpred=z((1, A), np.asarray(dg.f_eqpred).dtype),
+        f_mask=z((1, A), bool),
+        f_type=z(1, np.int8), f_wid=z(1, np.int32),
+        f_feat=z(1, np.float32), f_arity=np.ones(1, np.int16),
+        pos_of_vid=z(1, np.int32))
+
+
 def _dg_specs(dg) -> dict:
     """Per-field PartitionSpec: cs_/cm_/ab_ streams shard their B axis and
     bd_ plans their tile axis over 'graph'; everything else (weights,
@@ -213,6 +231,9 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
         halo = halo_plan(jax.device_get(dg.bd_lo), jax.device_get(dg.bd_hi),
                          info.band_w, B, n_graph)
 
+    pos_of_vid = dg.pos_of_vid
+    if not info.has_sparse_cw:
+        dg = _strip_factor_records(dg)
     cs_spec = _dg_specs(dg)
     dg_spec = type(dg)(*(cs_spec[n] for n in dg._fields))
 
@@ -274,7 +295,7 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
     counts = run(dg, weights, keys)
     total = n_sweeps * chains_per_device * n_chains_ax * (
         1 if halo is not None else n_graph)
-    marg = counts[dg.pos_of_vid].astype(jnp.float32) / jnp.float32(total)
+    marg = counts[pos_of_vid].astype(jnp.float32) / jnp.float32(total)
     return marg
 
 
@@ -310,6 +331,7 @@ def learn_gs(dg, weights, key, cfg, info, mesh: Mesh,
         halo = halo_plan(jax.device_get(dg.bd_lo), jax.device_get(dg.bd_hi),
                          info.band_w, B, n_graph)
 
+    dg = _strip_factor_records(dg)   # learn_gs guards has_sparse_cw above
     cs_spec = _dg_specs(dg)
     dg_spec = type(dg)(*(cs_spec[n] for n in dg._fields))
 

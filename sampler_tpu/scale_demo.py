@@ -58,7 +58,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from .benchgraphs import big_ising_grid
-    from .compile import compile_graph, to_device
+    from .compile import compile_graph
     from .parallel.graph_shard import halo_plan, infer_gs, make_mesh
 
     n_dev = args.devices or len(jax.devices())
@@ -73,13 +73,19 @@ def main(argv=None):
     dg, info = compile_graph(g, colors=colors, align=8 * n_graph)
     t_compile = time.time() - t0
     budget = memory_budget(dg, info)
+    del g, colors                    # free the host FactorGraph (~13 GB at
+    import gc                        # 10^8 vars) before device placement
+    gc.collect()
 
     B = dg.cs_mask.shape[1]
     plan = halo_plan(dg.bd_lo, dg.bd_hi, info.band_w, B, n_graph)
 
     mesh = make_mesh(n_chains_ax, n_graph)
     t0 = time.time()
-    marg = infer_gs(to_device(dg), dg.w_init, jax.random.PRNGKey(0),
+    # pass the HOST DeviceGraph: the shard_map device_puts each field per
+    # its spec directly — a prior to_device() would duplicate the full
+    # stream image on one device first (OOM at 10^8 vars)
+    marg = infer_gs(dg, dg.w_init, jax.random.PRNGKey(0),
                     n_burn=0, n_sweeps=args.sweeps, info=info, mesh=mesh,
                     chains_per_device=args.chains)
     marg = np.asarray(marg)
