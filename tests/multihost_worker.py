@@ -54,9 +54,22 @@ def main():
     w = learn_multihost(dgl, dgl.w_init, jax.random.PRNGKey(11), cfg, infol,
                         mesh=mesh, chains_per_device=4)
 
+    # --- graph-sharded inference on the global 2-D mesh ------------------
+    # streams sharded over 4 graph devices spanning both processes; the
+    # per-color collectives cross the process boundary (the DCN analog)
+    from sampler_tpu.parallel.graph_shard import infer_gs, make_mesh
+
+    g2 = ising_grid(4, 4, w_pair=0.4, w_bias=0.2)
+    dg2, info2 = compile_graph(g2, align=8 * 4)
+    mesh2 = make_mesh(2, 4)
+    marg_gs = infer_gs(dg2, dg2.w_init, jax.random.PRNGKey(21), n_burn=50,
+                       n_sweeps=400, info=info2, mesh=mesh2,
+                       chains_per_device=4)
+
     if pid == 0:
         np.save(os.path.join(outdir, "marg.npy"), np.asarray(marg))
         np.save(os.path.join(outdir, "weights.npy"), np.asarray(w))
+        np.save(os.path.join(outdir, "marg_gs.npy"), np.asarray(marg_gs))
     # every process must reach the same replicated results
     np.save(os.path.join(outdir, f"marg_p{pid}.npy"), np.asarray(marg))
     print(f"[worker {pid}] done", flush=True)

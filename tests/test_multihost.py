@@ -107,6 +107,27 @@ def test_multihost_matches_single_process(multihost_results):
     assert abs(w_mh[0] - w_star) < 0.2
 
 
+def test_multihost_graph_sharded(multihost_results):
+    """infer_gs on a global (2 chains x 4 graph) mesh spanning both
+    processes must match the single-process run bitwise (same program,
+    same keys) — per-color collectives crossing the process boundary."""
+    from sampler_tpu.compile import compile_graph
+    from sampler_tpu.fixtures import ising_grid
+    from sampler_tpu.parallel.graph_shard import infer_gs, make_mesh
+
+    marg_mh = np.load(os.path.join(multihost_results, "marg_gs.npy"))
+    g2 = ising_grid(4, 4, w_pair=0.4, w_bias=0.2)
+    dg2, info2 = compile_graph(g2, align=8 * 4)
+    marg_sp = infer_gs(dg2, dg2.w_init, jax.random.PRNGKey(21), n_burn=50,
+                       n_sweeps=400, info=info2, mesh=make_mesh(2, 4),
+                       chains_per_device=4)
+    np.testing.assert_array_equal(marg_mh, np.asarray(marg_sp))
+
+    from sampler_tpu.oracle import exact_marginals
+    exact = exact_marginals(g2)
+    assert np.abs(marg_mh[:, :2] - exact).max() < 0.05
+
+
 def test_multihost_replicated_on_every_process(multihost_results):
     m0 = np.load(os.path.join(multihost_results, "marg_p0.npy"))
     m1 = np.load(os.path.join(multihost_results, "marg_p1.npy"))
