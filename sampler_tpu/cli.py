@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("-c", "--n_datacopy", type=int, default=None,
                    help="compat alias (NUMA replicas → chains)")
     g.add_argument("--n_chains", type=int, default=1)
+    g.add_argument("--band_wmax", type=int, default=8192,
+                   help="max banded-gather window width (positions); raise "
+                        "for wide graphs (e.g. 16384 for a 10^4-column "
+                        "grid) so the MXU gather + halo exchange stay on")
     g.add_argument("--n_graph_shards", type=int, default=1,
                    help="shard the graph streams over this many devices "
                         "(model parallelism for >HBM graphs); the remaining "
@@ -111,7 +115,8 @@ def cmd_gibbs(args) -> int:
 
     n_graph = max(args.n_graph_shards, 1)
     t0 = time.time()
-    dg, info = compile_graph(graph, align=8 * n_graph)
+    dg, info = compile_graph(graph, align=8 * n_graph,
+                             band_wmax=args.band_wmax)
     dgj = to_device(dg)
     log(f"compiled: {info.n_colors} colors, block {info.block_size}, "
         f"degree {info.max_degree}, arity {info.max_arity} "
@@ -124,6 +129,17 @@ def cmd_gibbs(args) -> int:
     n_chains = args.n_chains
     if args.n_threads:
         n_chains = max(n_chains, args.n_threads)
+    # keep the Pallas fast paths at dw-default chain counts: raise to the
+    # TPU lane width (the extra chains are real chains pooled into the same
+    # tallies/gradients; lane-aligned kernels cost the same wall-clock)
+    from .engine.multichain import effective_chains, resolve_modes
+    n_eff = effective_chains(info, resolve_modes(info), n_chains,
+                             dg.var_card.shape[0],
+                             n_worlds=2 if args.n_learning_epoch else 1)
+    if n_eff != n_chains:
+        log(f"n_chains {n_chains} -> {n_eff} (raised to the TPU lane width "
+            f"so the Pallas kernels stay engaged)")
+        n_chains = n_eff
 
     if n_graph > 1:
         if args.checkpoint_every or args.resume:

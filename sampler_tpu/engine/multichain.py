@@ -14,6 +14,7 @@ NC independent chains per chip, pooled tallies.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -23,6 +24,7 @@ from .. import format_spec as fs
 from .potentials import eval_phi
 
 NEG_INF = jnp.float32(-1e30)
+LANE = 128  # TPU lane width: the Pallas kernels need NC % LANE == 0
 
 
 def values_dtype(info):
@@ -48,14 +50,42 @@ def demote_modes(modes, n_chains: int) -> tuple:
     """Demote native-Pallas mechanisms when the trailing chain axis is not
     lane-aligned: Mosaic requires the window DMA's minor dim (NC) to be a
     multiple of 128, so small-chain configs fall back to the XLA paths.
-    Interpret mode has no such constraint (it is plain XLA underneath)."""
+    Interpret mode has no such constraint (it is plain XLA underneath).
+
+    Entry points avoid ever hitting this demotion by raising the chain
+    count first (effective_chains below); this stays as the safety net for
+    direct kernel calls with misaligned values arrays."""
     band, fused = modes
-    if n_chains % 128:
+    if n_chains % LANE:
         if band == "pallas":
             band = "off"
         if fused == "pallas":
             fused = "off"
     return (band, fused)
+
+
+def effective_chains(info, modes, n_chains: int, n_positions: int,
+                     n_worlds: int = 1) -> int:
+    """Round the chain count up to the TPU lane width when that keeps the
+    Pallas fast paths engaged (demote_modes would otherwise silently turn
+    them off for NC % 128 != 0 — including the dw-default ``--n_chains 1``).
+
+    The extra chains are REAL chains: independent worlds pooled into the
+    same tallies / chain-averaged gradients, so the raise only adds
+    statistical power — and a lane-aligned kernel's wall-clock is the same
+    for 1 chain as for 128 (the MXU/VPU lane axis is 128 wide either way),
+    so per-sweep cost does not grow.  Skipped when the padded worlds would
+    blow the values-array memory budget (huge P), where the caller keeps
+    the requested count and demote_modes falls back to the XLA paths.
+    """
+    if n_chains % LANE == 0 or "pallas" not in tuple(modes):
+        return n_chains
+    new = ((n_chains + LANE - 1) // LANE) * LANE
+    budget = int(os.environ.get("SAMPLER_TPU_AUTOCHAIN_BYTES", 1 << 30))
+    bytes_per = 1 if info.max_card <= 127 else 4
+    if n_positions * new * n_worlds * bytes_per > budget:
+        return n_chains
+    return new
 
 
 def init_values_mc(dg, key, n_chains: int, info, random_init: bool = True):
@@ -298,7 +328,7 @@ def prepare_fold(dg, weights, info, modes):
     weights gather that must be amortized over many sweeps."""
     from ..ops.fused import fold_affine
 
-    if modes[1] == "off":
+    if modes[1] == "off" or not info.affine2:
         return None
     return fold_affine(dg, jnp.asarray(weights, jnp.float32), info)
 
@@ -650,6 +680,11 @@ def learn_mc(dg, weights, key, cfg, info, n_chains: int, modes=None,
     checkpointed run instead of initializing fresh worlds."""
     if modes is None:
         modes = resolve_modes(info)
+    if v_ev is None and v_free is None:
+        n_chains = effective_chains(info, modes, n_chains,
+                                    dg.var_card.shape[0], n_worlds=2)
+    else:
+        n_chains = v_ev.shape[-1]
     modes = demote_modes(modes, n_chains)
     k0, k1, kscan = jax.random.split(key, 3)
     if v_ev is None:
@@ -669,6 +704,7 @@ def infer_mc(dg, weights, key, n_burn: int, n_sweeps: int, info,
     """Chains-last inference; returns (marginals [V,K] float32, values)."""
     if modes is None:
         modes = resolve_modes(info)
+    n_chains = effective_chains(info, modes, n_chains, dg.var_card.shape[0])
     modes = demote_modes(modes, n_chains)
     k_init, k_burn, k_inf = jax.random.split(key, 3)
     values = init_values_mc(dg, k_init, n_chains, info, random_init)

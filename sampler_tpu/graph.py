@@ -80,6 +80,13 @@ class FactorGraph:
         assert (self.var_card >= 2).all()
         assert (self.var_init >= 0).all()
         assert (self.var_init < self.var_card).all()
+        bad_role = ~np.isin(self.var_role, (fs.ROLE_QUERY, fs.ROLE_EVIDENCE))
+        if bad_role.any():
+            v = int(np.nonzero(bad_role)[0][0])
+            raise ValueError(
+                f"unknown variable role {int(self.var_role[v])} on variable "
+                f"{v} ({int(bad_role.sum())} total); known roles: "
+                f"{fs.ROLE_QUERY}=query, {fs.ROLE_EVIDENCE}=evidence")
         bool_mask = self.var_dtype == fs.DTYPE_BOOLEAN
         assert (self.var_card[bool_mask] == 2).all()
         for t in np.unique(self.f_type):

@@ -205,9 +205,24 @@ def read_factors(path: str):
 
     total = len(buf)
     while pos < total:
+        # explicit bounds/plausibility checks so corrupt or truncated files
+        # fail loudly with a byte offset (mirrors the native parser's
+        # rc codes -1/-2/-3 — native/sampler_native.cpp)
+        if pos + 10 > total:
+            raise ValueError(
+                f"truncated factor record header at byte {pos}/{total}")
         ftype = int(take(fs.BE_U16)[0])
         arity = int(take(fs.BE_I64)[0])
+        if arity < 0 or arity > 10**9:
+            raise ValueError(
+                f"implausible factor arity {arity} at byte {pos - 8} "
+                "(corrupt factors file?)")
         categorical = ftype in fs.CATEGORICAL_FUNCS
+        rec_bytes = arity * (17 if categorical else 9) + 16
+        if pos + rec_bytes > total:
+            raise ValueError(
+                f"truncated factor record body at byte {pos}/{total} "
+                f"(arity {arity} needs {rec_bytes} bytes)")
         for _ in range(arity):
             e_vid.append(int(take(fs.BE_I64)[0]))
             e_ispos.append(bool(take(fs.BE_U8)[0]))
@@ -252,9 +267,20 @@ def read_comb_weights(path: str, arity: np.ndarray):
     pos, total = 0, len(buf)
     fid, wid, cats = [], [], []
     while pos < total:
+        if pos + fs.CWEIGHT_HEADER.itemsize > total:
+            raise ValueError(
+                f"truncated .cweights header at byte {pos}/{total}")
         head = np.frombuffer(buf, fs.CWEIGHT_HEADER, 1, pos)[0]
         pos += fs.CWEIGHT_HEADER.itemsize
-        a = int(arity[int(head["fid"])])
+        f = int(head["fid"])
+        if f < 0 or f >= len(arity):
+            raise ValueError(
+                f".cweights entry references factor {f} "
+                f"(graph has {len(arity)})")
+        a = int(arity[f])
+        if pos + 8 * a > total:
+            raise ValueError(
+                f"truncated .cweights entry at byte {pos}/{total}")
         fid.append(int(head["fid"]))
         wid.append(int(head["wid"]))
         cats.append(np.frombuffer(buf, fs.BE_I64, a, pos).astype(np.int64))
@@ -279,8 +305,16 @@ def read_domains_flat(path: str):
     starts = []
     p, total = 0, len(arr)
     while p < total:
+        if p + 2 > total:
+            raise ValueError(
+                f"truncated domain record header at word {p}/{total}")
+        card = int(arr[p + 1])
+        if card < 0 or p + 2 + card > total:
+            raise ValueError(
+                f"domain record at word {p} claims cardinality {card} "
+                f"but only {total - p - 2} words remain (corrupt file?)")
         starts.append(p)
-        p += 2 + int(arr[p + 1])
+        p += 2 + card
     if p != total:
         raise ValueError(f"domains file truncated at word {p}/{total}")
     starts = np.asarray(starts, np.int64)

@@ -25,9 +25,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..engine.learn import apply_update, weight_gradient
-from ..engine.multichain import (demote_modes, init_values_mc,
-                                 resolve_modes, run_inference_mc,
-                                 run_sweeps_mc, sweep_mc, values_dtype)
+from ..engine.multichain import (demote_modes, effective_chains,
+                                 init_values_mc, resolve_modes,
+                                 run_inference_mc, run_sweeps_mc, sweep_mc,
+                                 values_dtype)
 
 
 def chains_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -81,6 +82,8 @@ def infer_sharded(dg, weights, key, n_burn: int, n_sweeps: int, info,
     # resolved OUTSIDE the traced region; NC here is chains per device
     if modes is None:
         modes = resolve_modes(info)
+    chains_per_device = effective_chains(info, modes, chains_per_device,
+                                         dg.var_card.shape[0])
     modes = demote_modes(modes, chains_per_device)
 
     run = _infer_fn(info, mesh, modes, n_burn, n_sweeps, chains_per_device,
@@ -144,6 +147,9 @@ def learn_sharded(dg, weights, key, cfg, info, mesh: Mesh,
                   chains_per_device: int = 1):
     """Full data-parallel learning loop; returns final weights (replicated)."""
     n_dev = mesh.devices.size
+    chains_per_device = effective_chains(
+        info, resolve_modes(info), chains_per_device, dg.var_card.shape[0],
+        n_worlds=2)
     k0, k1, kloop = jax.random.split(key, 3)
 
     shard_chains = NamedSharding(mesh, P(None, "chains"))

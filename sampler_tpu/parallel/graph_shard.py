@@ -37,8 +37,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..engine.multichain import (color_draw_mc, demote_modes,
-                                 init_values_mc, mc_weight_gradient_cs,
-                                 resolve_modes)
+                                 effective_chains, init_values_mc,
+                                 mc_weight_gradient_cs, resolve_modes)
 
 
 def make_mesh(n_chains: int, n_graph: int, devices=None) -> Mesh:
@@ -48,11 +48,13 @@ def make_mesh(n_chains: int, n_graph: int, devices=None) -> Mesh:
     return Mesh(devices.reshape(n_chains, n_graph), ("chains", "graph"))
 
 
-def halo_plan(bd_lo, bd_hi, band_w: int, B: int, n_graph: int):
+def halo_plan(bd_lo, bd_hi, bounds, B: int, n_graph: int):
     """How far (in owner slices) any device's reads reach beyond its own
     slice of a color block: returns (nl, nr), or None when the halo
-    exchange does not apply (no banding plan, misaligned tiles, or no win
-    over the full all_gather).
+    exchange does not apply (no read-bounds plan, misaligned tiles, or no
+    win over the full all_gather).  ``bounds`` is CompileInfo.bounds — the
+    bd_lo/bd_hi validity flag; the plan works whether the gather runs
+    banded or plain (the bounds cover every position a tile reads).
 
     bd_lo/bd_hi: host [C, ntiles] TRUE per-tile read bounds [lo, hi) over
     cs_nbr (compile.py) — these bound every value position a tile's sweep
@@ -60,7 +62,7 @@ def halo_plan(bd_lo, bd_hi, band_w: int, B: int, n_graph: int):
     (the banded windows merely pad them).  Reader device g owns tiles
     [g*tpd, (g+1)*tpd) of every color (tile axis co-shards with the B axis
     in shard_device_graph / infer_gs)."""
-    if band_w <= 0:
+    if not bounds:
         return None
     bd_lo = np.asarray(bd_lo)
     bd_hi = np.asarray(bd_hi)
@@ -221,6 +223,8 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
     # resolved OUTSIDE the traced region; NC here is chains per device
     if modes is None:
         modes = resolve_modes(info)
+    chains_per_device = effective_chains(info, modes, chains_per_device,
+                                         dg.var_card.shape[0])
     modes = demote_modes(modes, chains_per_device)
     B = dg.cs_mask.shape[1]
     if B % n_graph:
@@ -229,7 +233,7 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
             f"compile with align=8*{n_graph}")
     if halo == "auto":
         halo = halo_plan(jax.device_get(dg.bd_lo), jax.device_get(dg.bd_hi),
-                         info.band_w, B, n_graph)
+                         info.bounds, B, n_graph)
 
     pos_of_vid = dg.pos_of_vid
     if not info.has_sparse_cw:
@@ -321,6 +325,8 @@ def learn_gs(dg, weights, key, cfg, info, mesh: Mesh,
     n_graph = mesh.shape["graph"]
     if modes is None:
         modes = resolve_modes(info)
+    chains_per_device = effective_chains(info, modes, chains_per_device,
+                                         dg.var_card.shape[0], n_worlds=2)
     modes = demote_modes(modes, chains_per_device)
     B = dg.cs_mask.shape[1]
     if B % n_graph:
@@ -329,7 +335,7 @@ def learn_gs(dg, weights, key, cfg, info, mesh: Mesh,
             f"compile with align=8*{n_graph}")
     if halo == "auto":
         halo = halo_plan(jax.device_get(dg.bd_lo), jax.device_get(dg.bd_hi),
-                         info.band_w, B, n_graph)
+                         info.bounds, B, n_graph)
 
     dg = _strip_factor_records(dg)   # learn_gs guards has_sparse_cw above
     cs_spec = _dg_specs(dg)

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..engine.multichain import demote_modes, init_values_mc, resolve_modes
+from ..engine.multichain import (demote_modes, effective_chains,
+                                 init_values_mc, resolve_modes)
 from .chains import _infer_fn, _learn_step_fn
 
 
@@ -91,6 +92,8 @@ def infer_multihost(dg, weights, key, n_burn: int, n_sweeps: int, info,
     n_dev = mesh.devices.size
     if modes is None:
         modes = resolve_modes(info)
+    chains_per_device = effective_chains(info, modes, chains_per_device,
+                                         dg.var_card.shape[0])
     modes = demote_modes(modes, chains_per_device)
 
     dg_g = put_replicated(dg, mesh)
@@ -116,6 +119,8 @@ def learn_multihost(dg, weights, key, cfg, info, mesh: Mesh | None = None,
     n_dev = mesh.devices.size
     if modes is None:
         modes = resolve_modes(info)
+    chains_per_device = effective_chains(info, modes, chains_per_device,
+                                         dg.var_card.shape[0], n_worlds=2)
     modes = demote_modes(modes, chains_per_device)
 
     k0, k1, kloop = jax.random.split(key, 3)

@@ -46,6 +46,10 @@ def main(argv=None):
                     help="graph-axis size (0 = all devices on graph axis)")
     ap.add_argument("--sweeps", type=int, default=10)
     ap.add_argument("--chains", type=int, default=2)
+    ap.add_argument("--band_wmax", type=int, default=8192,
+                    help="max banded window width; raise for wide grids "
+                         "(e.g. 16384 for 10^4 columns) so banding + halo "
+                         "stay on at configs[4] scale")
     args = ap.parse_args(argv)
 
     import os
@@ -70,7 +74,8 @@ def main(argv=None):
     t_gen = time.time() - t0
 
     t0 = time.time()
-    dg, info = compile_graph(g, colors=colors, align=8 * n_graph)
+    dg, info = compile_graph(g, colors=colors, align=8 * n_graph,
+                             band_wmax=args.band_wmax)
     t_compile = time.time() - t0
     budget = memory_budget(dg, info)
     del g, colors                    # free the host FactorGraph (~13 GB at
@@ -78,7 +83,7 @@ def main(argv=None):
     gc.collect()
 
     B = dg.cs_mask.shape[1]
-    plan = halo_plan(dg.bd_lo, dg.bd_hi, info.band_w, B, n_graph)
+    plan = halo_plan(dg.bd_lo, dg.bd_hi, info.bounds, B, n_graph)
 
     mesh = make_mesh(n_chains_ax, n_graph)
     t0 = time.time()
