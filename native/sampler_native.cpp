@@ -213,7 +213,11 @@ inline float phi_eval(int type, int nlit, int head, int n) {
 }
 
 struct StreamArgs {
-  int64_t n_rows, D, A, P, dummy_pos;
+  // A = columns emitted for this tier (tier max arity); Astride = row
+  // stride of the global f_* arrays (global max arity).  Tier row r sits
+  // at global position (r / Bt) * B_full + off_t + (r % Bt) — the
+  // degree-tiered color-major layout (compile.py).
+  int64_t n_rows, D, A, Astride, P, dummy_pos, B_full, Bt, off_t;
   int eq_is16, do_affine;
   const int32_t* v_fidx;
   const int32_t* f_vids;
@@ -238,14 +242,15 @@ struct StreamArgs {
 };
 
 void build_rows(const StreamArgs& g, int64_t r0, int64_t r1) {
-  const int64_t D = g.D, A = g.A, A1 = A - 1;
+  const int64_t D = g.D, A = g.A, A1 = A - 1, AS = g.Astride;
   // slot permutation scratch (A is small)
   std::vector<int> perm(A);
-  for (int64_t p = r0; p < r1; ++p) {
+  for (int64_t r = r0; r < r1; ++r) {
+    const int64_t p = (r / g.Bt) * g.B_full + g.off_t + (r % g.Bt);
     for (int64_t d = 0; d < D; ++d) {
-      const int64_t fi = g.v_fidx[p * D + d];
-      const int32_t* mv = g.f_vids + fi * A;
-      const uint8_t* msk = g.f_mask + fi * A;
+      const int64_t fi = g.v_fidx[r * D + d];
+      const int32_t* mv = g.f_vids + fi * AS;
+      const uint8_t* msk = g.f_mask + fi * AS;
       const int16_t ar = g.f_arity[fi];
       // stable own-last: neighbor slots first, own slots after
       int np_ = 0;
@@ -255,22 +260,22 @@ void build_rows(const StreamArgs& g, int64_t r0, int64_t r1) {
       for (int a = 0; a < A; ++a)
         if (mv[a] == (int32_t)p) perm[np_++] = a;
 
-      const int64_t rd = p * D + d;          // [rows, D] index
+      const int64_t rd = r * D + d;          // [rows, D] index
       const int64_t rda = rd * A;            // [rows, D, A] base
       for (int s = 0; s < A; ++s) {
         const int a = perm[s];
         const bool mine = mv[a] == (int32_t)p;
         g.cs_ismine[rda + s] = mine;
         g.cs_hmask[rda + s] = msk[a] && (a == ar - 1);
-        g.cs_pos[rda + s] = g.f_ispos[fi * A + a];
+        g.cs_pos[rda + s] = g.f_ispos[fi * AS + a];
         g.cs_mask[rda + s] = msk[a];
         if (g.cs_eq) {
           if (g.eq_is16)
             ((int16_t*)g.cs_eq)[rda + s] =
-                ((const int16_t*)g.f_eqpred)[fi * A + a];
+                ((const int16_t*)g.f_eqpred)[fi * AS + a];
           else
             ((int32_t*)g.cs_eq)[rda + s] =
-                ((const int32_t*)g.f_eqpred)[fi * A + a];
+                ((const int32_t*)g.f_eqpred)[fi * AS + a];
         }
         if (s < A1)
           g.cs_nbr[rd * A1 + s] = mine ? (int32_t)g.dummy_pos : mv[a];
@@ -314,7 +319,8 @@ void build_rows(const StreamArgs& g, int64_t r0, int64_t r1) {
 }  // namespace
 
 EXPORT int64_t sampler_build_streams(
-    int64_t n_rows, int64_t D, int64_t A, int64_t P, int64_t dummy_pos,
+    int64_t n_rows, int64_t D, int64_t A, int64_t A_stride, int64_t P,
+    int64_t dummy_pos, int64_t B_full, int64_t Bt, int64_t off_t,
     int64_t eq_is16, int64_t do_affine, int64_t n_threads,
     const int32_t* v_fidx, const int32_t* f_vids, const uint8_t* f_ispos,
     const void* f_eqpred, const uint8_t* f_mask, const int8_t* f_type,
@@ -324,9 +330,10 @@ EXPORT int64_t sampler_build_streams(
     uint8_t* cs_mask, void* cs_eq, int8_t* cs_type, int16_t* cs_arity,
     int32_t* cs_wid, float* cs_feat, uint8_t* cs_gowner, uint8_t* cs_gtouch,
     float* ab_a, float* ab_b) {
-  if (A < 1 || D < 1 || n_rows < 0) return -1;
+  if (A < 1 || D < 1 || n_rows < 0 || A_stride < A || Bt < 1) return -1;
   if (do_affine && (A > 2 || !ab_a || !ab_b)) return -2;
-  StreamArgs g{n_rows, D, A, P, dummy_pos, (int)eq_is16, (int)do_affine,
+  StreamArgs g{n_rows, D, A, A_stride, P, dummy_pos, B_full, Bt, off_t,
+               (int)eq_is16, (int)do_affine,
                v_fidx, f_vids, f_ispos, f_eqpred, f_mask, f_type, f_arity,
                f_wid, f_feat, f_minpos, f_touch,
                cs_nbr, cs_ismine, cs_hmask, cs_pos, cs_mask, cs_eq,
@@ -350,4 +357,4 @@ EXPORT int64_t sampler_build_streams(
   return 0;
 }
 
-EXPORT const char* sampler_native_version() { return "sampler-native-0.2"; }
+EXPORT const char* sampler_native_version() { return "sampler-native-0.3"; }

@@ -68,18 +68,52 @@ def big_ising_grid(rows: int, cols: int, w_pair: float = 0.5,
 
 def random_kbc_graph(n_vars: int, n_factors: int, max_arity: int = 3,
                      n_weights: int = 1000, seed: int = 0,
-                     evidence_frac: float = 0.1):
+                     evidence_frac: float = 0.1, skew: float = 0.0,
+                     window: int = 0, hub_frac: float = 0.05,
+                     scramble: bool = False):
     """Random boolean graph with mixed factor types, built vectorized.
 
-    Shape mimics KBC workloads: skewed-ish degree, mixed arities 1..max_arity,
-    many shared weights.  Returns FactorGraph (coloring left to greedy).
+    Shape mimics KBC workloads:
+      * mixed arities 1..max_arity, many shared weights;
+      * ``skew`` > 0: a POWER-LAW degree head — hub members drawn with
+        probability ∝ (rank+1)^-skew, so a handful of hub entities touch
+        orders of magnitude more factors than the median (real DeepDive
+        entity-mention graphs);
+      * ``window`` > 0: DOCUMENT LOCALITY — each factor's non-hub members
+        come from a ±window band around a random center (mentions in one
+        document), which is what makes a bandwidth-reducing ordering and
+        the banded gather applicable to KBC shapes;
+      * ``scramble``: destroy the id-space locality with a random
+        permutation (the ordering must then be RECOVERED by rcm_order —
+        tests use this to prove the ordering does real work).
+    Returns FactorGraph (coloring left to greedy).
     """
     rng = np.random.default_rng(seed)
     arity = rng.integers(1, max_arity + 1, size=n_factors).astype(np.int64)
     f_ptr = np.zeros(n_factors + 1, np.int64)
     np.cumsum(arity, out=f_ptr[1:])
     E = int(f_ptr[-1])
-    e_vid = rng.integers(0, n_vars, size=E).astype(np.int32)
+    if window > 0:
+        centers = rng.integers(0, n_vars, size=n_factors)
+        base = np.repeat(centers, arity)
+        offs = rng.integers(-window, window + 1, size=E)
+        e_vid = np.clip(base + offs, 0, n_vars - 1).astype(np.int32)
+    else:
+        e_vid = rng.integers(0, n_vars, size=E).astype(np.int32)
+    if skew > 0:
+        w = (np.arange(1, n_vars + 1, dtype=np.float64)) ** (-skew)
+        cdf = np.cumsum(w)
+        cdf /= cdf[-1]
+        hub_vid = np.minimum(np.searchsorted(cdf, rng.random(E)),
+                             n_vars - 1).astype(np.int32)
+        if window > 0:
+            hub = rng.random(E) < hub_frac
+            e_vid = np.where(hub, hub_vid, e_vid)
+        else:
+            e_vid = hub_vid
+    if scramble:
+        perm = rng.permutation(n_vars).astype(np.int32)
+        e_vid = perm[e_vid]
     funcs = np.array([fs.FUNC_IMPLY_NATURAL, fs.FUNC_OR, fs.FUNC_AND,
                       fs.FUNC_IMPLY_MLN, fs.FUNC_ISTRUE], np.int32)
     f_type = funcs[rng.integers(0, len(funcs), size=n_factors)]

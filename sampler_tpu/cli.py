@@ -48,6 +48,14 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("-c", "--n_datacopy", type=int, default=None,
                    help="compat alias (NUMA replicas → chains)")
     g.add_argument("--n_chains", type=int, default=1)
+    g.add_argument("--order", choices=["id", "rcm"], default="id",
+                   help="variable ordering within (color, tier) segments: "
+                        "'rcm' runs reverse Cuthill-McKee to recover "
+                        "locality (tightens the banded-gather windows and "
+                        "halo bounds on irregular graphs)")
+    g.add_argument("--max_tiers", type=int, default=4,
+                   help="degree-tier cap for the device layout (1 disables "
+                        "bucketing; skewed KBC graphs want >= 2)")
     g.add_argument("--band_wmax", type=int, default=8192,
                    help="max banded-gather window width (positions); raise "
                         "for wide graphs (e.g. 16384 for a 10^4-column "
@@ -115,11 +123,17 @@ def cmd_gibbs(args) -> int:
 
     n_graph = max(args.n_graph_shards, 1)
     t0 = time.time()
+    order = None
+    if args.order == "rcm":
+        from .coloring import rcm_order
+        order = rcm_order(graph)
     dg, info = compile_graph(graph, align=8 * n_graph,
-                             band_wmax=args.band_wmax)
+                             band_wmax=args.band_wmax, shards=n_graph,
+                             max_tiers=args.max_tiers, order=order)
     dgj = to_device(dg)
     log(f"compiled: {info.n_colors} colors, block {info.block_size}, "
-        f"degree {info.max_degree}, arity {info.max_arity} "
+        f"degree {info.max_degree}, arity {info.max_arity}, "
+        f"tiers {[(ti.block, ti.degree, ti.arity) for ti in info.tiers]} "
         f"[{time.time()-t0:.2f}s]")
 
     key = jax.random.PRNGKey(args.seed)

@@ -4,20 +4,25 @@ Equivalent role to the reference's FactorGraph::compile() →
 CompiledFactorGraph (ref: src/factor_graph.cc — recalled), but the layout is
 TPU-shaped:
 
-COLOR-MAJOR VARIABLE LAYOUT.  Variables are permuted so that each color's
-block occupies one contiguous slice of the assignment vector:
-position p = c * B + b holds the b-th variable of color c (B = padded block
-size).  A Gibbs color step then:
+COLOR-MAJOR, DEGREE-TIERED VARIABLE LAYOUT.  Variables are permuted so that
+each color's block occupies one contiguous slice of the assignment vector,
+and within a color block variables are grouped into DEGREE TIERS — 1-4
+contiguous segments, each padded to its OWN maximum incident-factor count
+D_t and its own maximum incident arity A_t instead of the global maxima
+(SURVEY.md §7 "bucketed by arity"; VERDICT.md r2 #1: a single degree-10^4
+hub must not inflate every variable's stream row by 2500x).  Position
+p = c * B + off_t + r holds the r-th tier-t variable of color c, where
+B = Σ_t B_t.  A Gibbs color step then loops the (static, <= 4) tiers:
 
-  * reads its per-variable metadata as contiguous [B] slices (no gathers),
+  * reads tier metadata as contiguous [B_t] slices (no gathers),
   * gathers only the small ``values`` vector at streamed member indices,
   * writes its updates with one contiguous dynamic_update_slice — there is
     NO scatter anywhere in the sweep (arbitrary-index scatter is
     pathologically slow on TPU XLA).
 
 Sentinels instead of masks wherever possible:
-  * pad positions inside a color block are fake variables (card 1, evidence
-    role, value 0) — the slice update writes their old value back;
+  * pad positions inside a tier segment are fake variables (card 1,
+    evidence role, value 0) — the slice update writes their old value back;
   * position C*B is the global dummy slot factor-edge padding points at;
   * a DUMMY FACTOR row at index F has feature 0.0 so its contribution to
     any sum is exactly 0.
@@ -41,12 +46,77 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-class DeviceGraph(NamedTuple):
-    """Rectangular SoA arrays (numpy here; moved to device by jnp.asarray).
+class TierStreams(NamedTuple):
+    """One degree tier's device arrays.
 
+    Shapes: B = this tier's padded rows per color (TierInfo.block),
+    D = tier max degree, A = tier max incident arity, C = colors,
+    K = global max cardinality.  Conventions identical to the pre-tier
+    layout (VERDICT r1/r2 reviews): own-last slot permutation, neighbor
+    slots only in cs_nbr, [C, 1, ...] placeholders for disabled features.
+    """
+
+    # color-major incidence streams — the sweep's hot data.  One record per
+    # (variable-of-tier, incident-factor-slot); contiguous streaming.
+    # SLOTS ARE PERMUTED OWN-LAST per (variable, factor): the slots owned by
+    # the updating variable sit at the tail of the A axis, so the values
+    # gather touches ONLY the leading A-1 neighbor slots (cs_nbr) — the
+    # gather is TPU-issue-rate bound (~11 ns/row regardless of row width),
+    # so dropping the own slots halves its cost on pairwise graphs.
+    cs_nbr: np.ndarray     # int32 [C, B, D, A-1] neighbor positions
+    #                        (own/pad slots → dummy position)
+    cs_ismine: np.ndarray  # bool  [C, B, D, A] slots owned by this variable
+    cs_hmask: np.ndarray   # bool  [C, B, D, A] slot is the factor HEAD
+    cs_pos: np.ndarray     # bool  [C, B, D, A]
+    cs_eq: np.ndarray      # int16/int32 [C, B, D, A]; [C, 1, 1, 1]
+    #                        placeholder when CompileInfo.all_boolean
+    cs_mask: np.ndarray    # bool  [C, B, D, A]
+    cs_type: np.ndarray    # int8  [C, B, D]
+    cs_arity: np.ndarray   # int16 [C, B, D]
+    cs_wid: np.ndarray     # int32 [C, B, D]
+    cs_feat: np.ndarray    # float32 [C, B, D]
+    # gradient ownership: each real factor is "owned" by exactly ONE
+    # incidence record (its min-position member), so the contrastive-SGD
+    # gradient can be evaluated on the cs streams without counting a factor
+    # once per member
+    cs_gowner: np.ndarray  # bool [C, B, D] this record owns its factor
+    cs_gtouch: np.ndarray  # bool [C, B, D] owner & factor touches evidence
+    # sparse per-combination weights (placeholders when has_sparse_cw off)
+    cs_issparse: np.ndarray   # bool  [C, B, D]
+    cs_cwbase: np.ndarray     # int32 [C, B, D]
+    cs_cwstride: np.ndarray   # int32 [C, B, D, A] (own-last slot order)
+    # banded-gather plan (ops/banded.py): per-tile window starts; [C, 1]
+    # zeros when banding is off (TierInfo.band_w == 0).  Single-window
+    # (band_k == 1): [C, ntiles]; multi-window (band_k >= 2, multi-color
+    # graphs): [C, ntiles, K] DMA starts with bd_rnbr holding indices
+    # remapped into the concatenated K*W window space
+    bd_start: np.ndarray   # int32 [C, ntiles] or [C, ntiles, K]
+    bd_rnbr: np.ndarray    # int32 [C, ntiles, R] remapped neighbor indices
+    #                        ([C, 1, 1] unless band_k >= 2)
+    # TRUE per-tile read bounds [lo, hi) over cs_nbr (dummy excluded;
+    # empty tile -> lo=P, hi=0); valid iff TierInfo.bounds — the
+    # halo-exchange plan (parallel/graph_shard.py) derives from these
+    bd_lo: np.ndarray      # int32 [C, ntiles] ([C, 1] when no bounds)
+    bd_hi: np.ndarray      # int32 [C, ntiles] (exclusive)
+    # fused affine color step (ops/fused.py; TierInfo.affine2):
+    bd_nbr: np.ndarray     # int32 [C, ntiles, 1, D*TB] neighbor positions,
+    #                        d-major within tile ([C,1,1,1] when off)
+    ab_a: np.ndarray       # f32 [C, B, D] delta-phi intercept ([C,1,1] off)
+    ab_b: np.ndarray       # f32 [C, B, D] delta-phi slope in neighbor value
+    # precomputed draw masks (runtime comparisons against sliced metadata
+    # trigger a pathological Mosaic lowering — ~400x slower — so these are
+    # baked at compile time and streamed):
+    cm_kmask: np.ndarray        # float32 [C, B, K]: 0 if k < card else -1e30
+    cm_resample: np.ndarray     # bool [C, B]: query & not pad
+    cm_resample_ev: np.ndarray  # bool [C, B]: not pad (sample_evidence mode)
+
+
+class DeviceGraph(NamedTuple):
+    """Rectangular SoA arrays (numpy here; moved to device by to_device).
+
+    Global fields plus a tuple of TierStreams (one per degree tier).
     Shapes:  P = C*B + 1 (color-major positions + dummy tail),
-             F' = F+1 (dummy factor row),  A = padded max arity,
-             D = padded max degree, C = colors, B = padded block size.
+             F' = F+1 (dummy factor row),  A = padded GLOBAL max arity.
     """
 
     # factors (members as positions) ------------------------------ [F', A]
@@ -59,61 +129,10 @@ class DeviceGraph(NamedTuple):
     f_wid: np.ndarray     # int32 (dummy → 0)
     f_feat: np.ndarray    # float32 (dummy → 0.0)
     f_arity: np.ndarray   # int16 (dummy → 1)
-    # color-major incidence streams — the sweep's hot data.  One record per
-    # (variable-of-color, incident-factor-slot); contiguous streaming.
-    # SLOTS ARE PERMUTED OWN-LAST per (variable, factor): the slots owned by
-    # the updating variable sit at the tail of the A axis, so the values
-    # gather touches ONLY the leading A-1 neighbor slots (cs_nbr) — the
-    # gather is TPU-issue-rate bound (~11 ns/row regardless of row width),
-    # so dropping the own slots halves its cost on pairwise graphs.
-    cs_nbr: np.ndarray     # int32 [C, B, D, A-1] neighbor positions
-                           #       (own/pad slots → dummy position)
-    cs_ismine: np.ndarray  # bool  [C, B, D, A] slots owned by this variable
-                           #       (own-last: trailing n_own slots True)
-    cs_hmask: np.ndarray   # bool  [C, B, D, A] slot is the factor HEAD
-                           #       (original slot arity-1); explicit because
-                           #       the permutation breaks iota==arity-1
-    cs_pos: np.ndarray     # bool  [C, B, D, A]
-    cs_eq: np.ndarray      # int16/int32 [C, B, D, A]; [C, 1, 1, 1]
-                           #       placeholder when CompileInfo.all_boolean
-                           #       (the engine never reads it then)
-    cs_mask: np.ndarray    # bool  [C, B, D, A]
-    cs_type: np.ndarray    # int8  [C, B, D]
-    cs_arity: np.ndarray   # int16 [C, B, D]
-    cs_wid: np.ndarray     # int32 [C, B, D]
-    cs_feat: np.ndarray    # float32 [C, B, D]
-    # gradient ownership: each real factor is "owned" by exactly ONE
-    # incidence record (its min-position member), so the contrastive-SGD
-    # gradient can be evaluated on the cs streams — reusing the banded MXU
-    # gather — without counting a factor once per member
-    cs_gowner: np.ndarray  # bool [C, B, D] this record owns its factor
-    cs_gtouch: np.ndarray  # bool [C, B, D] owner & factor touches evidence (pad → 0)
-    # banded-gather plan (ops/banded.py): per-tile window starts; [C, 1]
-    # zeros when banding is off (CompileInfo.band_w == 0)
-    bd_start: np.ndarray   # int32 [C, ntiles]
-    # TRUE per-tile read bounds [lo, hi) over cs_nbr (dummy excluded;
-    # empty tile -> lo=P, hi=0) — tighter than the padded/aligned windows;
-    # parallel/graph_shard.py derives the halo-exchange plan from these
-    bd_lo: np.ndarray      # int32 [C, ntiles] ([C, 1] when banding off)
-    bd_hi: np.ndarray      # int32 [C, ntiles] (exclusive)
-    # fused affine color step (ops/fused.py; CompileInfo.affine2):
-    bd_nbr: np.ndarray     # int32 [C, ntiles, 1, D*TB] neighbor positions,
-                           #       d-major within tile ([C,1,1,1] when off)
-    ab_a: np.ndarray       # f32 [C, B, D] delta-phi intercept ([C,1,1] off)
-    ab_b: np.ndarray       # f32 [C, B, D] delta-phi slope in neighbor value
     # per-position variable metadata ------------------------------- [P]
     var_card: np.ndarray  # int32 (pads/dummy → 1)
     var_role: np.ndarray  # int32 (pads/dummy → ROLE_EVIDENCE)
     var_init: np.ndarray  # int32 (pads/dummy → 0)
-    # color-major 2-D views of the same metadata ------------------ [C, B]
-    cm_card: np.ndarray   # int32
-    cm_role: np.ndarray   # int32
-    # precomputed draw masks (runtime comparisons against sliced metadata
-    # trigger a pathological Mosaic lowering — ~400x slower — so these are
-    # baked at compile time and streamed):
-    cm_kmask: np.ndarray      # float32 [C, B, K]: 0 if k < card else -1e30
-    cm_resample: np.ndarray   # bool [C, B]: query & not pad
-    cm_resample_ev: np.ndarray  # bool [C, B]: not pad (sample_evidence mode)
     # original-id mapping ------------------------------------------- [V]
     pos_of_vid: np.ndarray  # int32: original vid → color-major position
     # weights ------------------------------------------------ [W + 1]
@@ -127,9 +146,40 @@ class DeviceGraph(NamedTuple):
     cwt_wid: np.ndarray       # int32 [T] dense mixed-radix comb → wid table
     f_cwbase: np.ndarray      # int32 [F'] table base (-1 = not sparse)
     f_cwstride: np.ndarray    # int32 [F', A] mixed-radix stride per slot
-    cs_issparse: np.ndarray   # bool  [C, B, D]
-    cs_cwbase: np.ndarray     # int32 [C, B, D] (0 where not sparse)
-    cs_cwstride: np.ndarray   # int32 [C, B, D, A] (own-last slot order)
+    # the degree tiers (>= 1); see TierStreams
+    tiers: tuple = ()
+
+    # ---- single-tier convenience accessors (tests / simple callers) ----
+    def _one(self) -> TierStreams:
+        if len(self.tiers) != 1:
+            raise AttributeError(
+                "flat stream accessor used on a multi-tier DeviceGraph; "
+                "iterate dg.tiers instead")
+        return self.tiers[0]
+
+
+def _add_tier_accessors():
+    for _f in TierStreams._fields:
+        setattr(DeviceGraph, _f,
+                property(lambda self, _f=_f: getattr(self._one(), _f)))
+
+
+_add_tier_accessors()
+
+
+@dataclasses.dataclass(frozen=True)
+class TierInfo:
+    """Static (hashable) description of one degree tier."""
+    off: int              # row offset within each color block
+    block: int            # B_t: padded rows per color
+    degree: int           # D_t: padded incident-factor slots
+    arity: int            # A_t: padded member slots of incident factors
+    band_w: int = 0       # banded-gather window width (0 = off)
+    band_tb: int = 0      # banded-gather tile rows (0 = off)
+    band_k: int = 0       # windows per tile (1 = single, >= 2 multi-window)
+    bounds: bool = False  # bd_lo/bd_hi hold true read bounds
+    affine2: bool = False  # fused affine color step available
+    present_funcs: tuple = ()  # factor-function ids in THIS tier's records
 
 
 @dataclasses.dataclass(frozen=True)
@@ -141,61 +191,187 @@ class CompileInfo:
     max_arity: int
     max_degree: int
     max_card: int
-    block_size: int
+    block_size: int             # B = sum of tier blocks
     present_funcs: tuple = ()   # sorted factor-function ids in this graph
     all_boolean: bool = False   # no categorical vars and all eqpred == 1
-    band_w: int = 0             # banded-gather window width (0 = disabled)
-    band_tb: int = 0            # banded-gather tile size (variables/tile)
-    affine2: bool = False       # fused affine color step available
-                                # (all-boolean, arity <= 2, banded)
+    band_w: int = 0             # max tier band_w (0 = no banded tier)
+    band_tb: int = 0            # band tile rows (uniform across tiers)
+    bounds: bool = False        # ALL tiers have true read bounds (halo ok)
+    affine2: bool = False       # any tier runs the fused affine step
     has_sparse_cw: bool = False  # sparse per-combination weights present
+    tiers: tuple = ()           # TierInfo per tier (ascending degree)
 
+
+# ---------------------------------------------------------------------------
+# degree-tier planning
+# ---------------------------------------------------------------------------
+
+def plan_tiers(degree: np.ndarray, max_inc_arity: np.ndarray,
+               max_tiers: int = 4, min_gain: float = 0.25):
+    """Partition variables into <= max_tiers degree tiers.
+
+    Minimizes the padded stream volume Σ_t N_t · D_t · A_t by dynamic
+    programming over (quantized) unique degree levels; falls back to a
+    single tier when the best multi-tier split saves < ``min_gain`` of the
+    single-tier volume (grids and other uniform graphs keep the exact
+    pre-tier layout).  Returns (tier_of_var int32 [V], n_tiers).
+    """
+    V = len(degree)
+    if V == 0 or max_tiers <= 1:
+        return np.zeros(V, np.int32), 1
+    degree = np.asarray(degree, np.int64)
+    levels = np.unique(degree)
+    if len(levels) <= 1:
+        return np.zeros(V, np.int32), 1
+    if len(levels) > 256:
+        qs = np.quantile(degree, np.linspace(0.0, 1.0, 257)[1:])
+        levels = np.unique(np.concatenate(
+            [qs.astype(np.int64), [int(degree.max())]]))
+    m = len(levels)
+    bucket = np.searchsorted(levels, degree)          # first level >= degree
+    cnt = np.bincount(bucket, minlength=m).astype(np.int64)
+    ccnt = np.concatenate([[0], np.cumsum(cnt)])
+    # per-bucket max incident arity (vectorized segment max)
+    order = np.argsort(bucket, kind="stable")
+    sb = bucket[order]
+    sa = np.asarray(max_inc_arity, np.int64)[order]
+    starts = np.searchsorted(sb, np.arange(m))
+    amax_b = np.ones(m, np.int64)
+    nonempty = cnt > 0
+    if nonempty.any():
+        red = np.maximum.reduceat(sa, np.minimum(starts, V - 1))
+        amax_b = np.where(nonempty, red, 1)
+
+    INF = float("inf")
+    best = np.full((m + 1, max_tiers + 1), INF)
+    cut = np.zeros((m + 1, max_tiers + 1), np.int32)
+    best[0, 0] = 0.0
+    for i in range(1, m + 1):
+        for k in range(1, max_tiers + 1):
+            seg_amax = 1
+            for j in range(i - 1, -1, -1):
+                seg_amax = max(seg_amax, int(amax_b[j]))
+                n_seg = int(ccnt[i] - ccnt[j])
+                cost = n_seg * int(levels[i - 1]) * seg_amax
+                cand = best[j, k - 1] + cost
+                if cand < best[i, k]:
+                    best[i, k] = cand
+                    cut[i, k] = j
+    single = best[m, 1]
+    k_best = int(np.argmin(best[m, 1:])) + 1
+    if best[m, k_best] > (1.0 - min_gain) * single or k_best == 1:
+        return np.zeros(V, np.int32), 1
+    # reconstruct cuts -> per-bucket tier ids (drop empty segments)
+    bounds = []
+    i, k = m, k_best
+    while k > 0:
+        j = int(cut[i, k])
+        bounds.append((j, i))
+        i, k = j, k - 1
+    bounds.reverse()
+    tier_of_bucket = np.zeros(m, np.int32)
+    t = 0
+    for j, i in bounds:
+        if ccnt[i] - ccnt[j] == 0:
+            continue
+        tier_of_bucket[j:i] = t
+        t += 1
+    if t <= 1:
+        return np.zeros(V, np.int32), 1
+    return tier_of_bucket[bucket], t
+
+
+# ---------------------------------------------------------------------------
+# the compiler
+# ---------------------------------------------------------------------------
 
 def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
                   align: int = 8, band_tile: int = 128,
                   band_wmax: int = 8192,
-                  band_min_block: int = 4096) -> tuple[DeviceGraph,
-                                                       CompileInfo]:
-    """Build the padded color-major device layout.
+                  band_min_block: int = 4096,
+                  max_tiers: int = 4,
+                  shards: int = 1,
+                  order: np.ndarray | None = None) -> tuple[DeviceGraph,
+                                                            CompileInfo]:
+    """Build the padded color-major, degree-tiered device layout.
 
     band_*: parameters of the banded (MXU one-hot matmul) gather plan — see
-    ops/banded.py.  Blocks smaller than ``band_min_block`` skip banding (the
-    plain gather is fine there and the tile padding would dominate)."""
+    ops/banded.py.  Tier blocks smaller than ``band_min_block`` skip banding
+    (the plain gather is fine there and the tile padding would dominate).
+    max_tiers: degree-tier cap (1 disables bucketing).
+    shards: intended graph-axis size — banded tier blocks are rounded so
+    every 1/shards slice keeps whole band tiles (parallel/graph_shard.py
+    check_shardable).
+    order: optional int ordering key per variable (smaller = earlier within
+    its (color, tier) segment) — e.g. an RCM rank for bandwidth reduction;
+    default keeps original-id order.
+    """
     graph.validate()
     V, F, E = graph.n_vars, graph.n_factors, graph.n_edges
     arity = graph.arities().astype(np.int64)
     A = int(arity.max())
 
-    # --- coloring → permutation ----------------------------------------
+    # --- coloring --------------------------------------------------------
     if colors is None:
         colors = greedy_coloring(graph)
     C = int(colors.max()) + 1 if V else 1
-    counts = np.bincount(colors, minlength=C)
-    B = _round_up(int(counts.max()), align)
-    try_band = band_tile > 0 and B >= band_min_block
-    if try_band:
-        B = _round_up(B, band_tile)
+
+    # --- per-variable degree / max incident arity (factor-distinct) ------
+    rows = np.repeat(np.arange(F), arity)
+    pair_key = rows.astype(np.int64) * V + graph.e_vid
+    uniq = np.unique(pair_key)
+    uf = (uniq // V).astype(np.int32)        # incident factor per pair
+    uv = (uniq % V).astype(np.int64)         # variable per pair
+    degree_v = np.bincount(uv, minlength=V)
+    vorder = np.argsort(uv, kind="stable")
+    vstarts = np.searchsorted(uv[vorder], np.arange(V))
+    maxA_v = np.ones(V, np.int64)
+    if len(uv):
+        red = np.maximum.reduceat(arity[uf[vorder]],
+                                  np.minimum(vstarts, len(uv) - 1))
+        maxA_v = np.where(degree_v > 0, red, 1)
+
+    # --- degree tiers -----------------------------------------------------
+    tier_of_v, T = plan_tiers(degree_v, maxA_v, max_tiers)
+
+    # --- per-(color, tier) counts -> padded tier blocks -------------------
+    gidx = colors.astype(np.int64) * T + tier_of_v
+    gcnt = np.bincount(gidx, minlength=C * T).reshape(C, T)
+    Bt = np.zeros(T, np.int64)
+    try_band_t = np.zeros(T, bool)
+    for t in range(T):
+        b = _round_up(max(int(gcnt[:, t].max()), 1), align)
+        if band_tile > 0 and b >= band_min_block:
+            q = int(np.lcm(align, band_tile * max(shards, 1)))
+            b = _round_up(b, q)
+            try_band_t[t] = True
+        Bt[t] = b
+    off = np.concatenate([[0], np.cumsum(Bt)[:-1]])
+    B = int(Bt.sum())
     P = C * B + 1                      # +1 global dummy tail
     DUMMY = C * B
 
+    # --- permutation: (color, tier, order) -> positions -------------------
+    order_key = np.arange(V, dtype=np.int64) if order is None \
+        else np.asarray(order, np.int64)
+    corder = np.lexsort((order_key, tier_of_v, colors)).astype(np.int64)
+    sg = gidx[corder]
+    gstarts = np.searchsorted(sg, np.arange(C * T))
+    rank = np.arange(V) - gstarts[sg]
+    positions = (colors[corder].astype(np.int64) * B
+                 + off[tier_of_v[corder]] + rank)
     vid_of_pos = np.full(P, -1, np.int64)   # -1 = pad/dummy
-    corder = np.argsort(colors, kind="stable").astype(np.int64)
-    sc = colors[corder]
-    cstarts = np.searchsorted(sc, np.arange(C))
-    cpos = np.arange(V) - cstarts[sc]
-    positions = sc.astype(np.int64) * B + cpos
     vid_of_pos[positions] = corder
     pos_of_vid = np.empty(V, np.int64)
     pos_of_vid[corder] = positions
 
-    # --- factor → member edges (as positions), padded [F+1, A] ---------
+    # --- factor → member edges (as positions), padded [F+1, A] ------------
     eq_dtype = (np.int16 if np.max(graph.e_eqpred, initial=0) < (1 << 15)
                 else np.int32)
     f_vids = np.full((F + 1, A), DUMMY, np.int32)
     f_ispos = np.zeros((F + 1, A), bool)
     f_eqpred = np.zeros((F + 1, A), eq_dtype)
     f_mask = np.zeros((F + 1, A), bool)
-    rows = np.repeat(np.arange(F), arity)
     cols = np.arange(E, dtype=np.int64) - np.repeat(graph.f_ptr[:-1], arity)
     f_vids[rows, cols] = pos_of_vid[graph.e_vid]
     f_ispos[rows, cols] = graph.e_ispos
@@ -207,23 +383,7 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
     f_feat = np.concatenate([graph.f_feat, [0.0]]).astype(np.float32)
     f_arity = np.concatenate([arity, [1]]).astype(np.int16)
 
-    # --- variable(position) → DISTINCT incident factors [P, D] ---------
-    # a factor mentioning the same variable in several slots appears once;
-    # the sweep substitutes the candidate at every matching slot.
-    pair_key = rows.astype(np.int64) * P + pos_of_vid[graph.e_vid]
-    uniq = np.unique(pair_key)
-    uf = (uniq // P).astype(np.int32)
-    up = (uniq % P).astype(np.int64)
-    degree = np.bincount(up, minlength=P)
-    D = max(int(degree.max()) if V else 1, 1)
-    v_fidx = np.full((P, D), F, np.int32)
-    order = np.argsort(up, kind="stable")
-    sp, sf = up[order], uf[order]
-    starts = np.searchsorted(sp, np.arange(P))
-    posn = np.arange(len(sp)) - starts[sp]
-    v_fidx[sp, posn] = sf
-
-    # --- per-position metadata -----------------------------------------
+    # --- per-position metadata --------------------------------------------
     var_card = np.ones(P, np.int32)
     var_role = np.full(P, fs.ROLE_EVIDENCE, np.int32)
     var_init = np.zeros(P, np.int32)
@@ -231,16 +391,9 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
     var_card[real] = graph.var_card[vid_of_pos[real]]
     var_role[real] = graph.var_role[vid_of_pos[real]]
     var_init[real] = graph.var_init[vid_of_pos[real]]
-    cm_card = var_card[:-1].reshape(C, B).copy()
-    cm_role = var_role[:-1].reshape(C, B).copy()
     K = int(graph.var_card.max()) if V else 1
-    cm_kmask = np.where(
-        np.arange(K)[None, None, :] < cm_card[:, :, None], 0.0, -1e30
-    ).astype(np.float32)
-    cm_resample = (cm_role == 0) & (cm_card > 1)
-    cm_resample_ev = cm_card > 1
 
-    # --- sparse per-combination weight TABLE (FUNC 12 sparse variant) ---
+    # --- sparse per-combination weight TABLE (FUNC 12 sparse variant) -----
     # dense mixed-radix table per sparse factor: entry for combination
     # (v_0..v_{a-1}) lives at base_f + Σ_j v_j·stride_j; combinations with
     # no entry point at the reserved zero weight (index n_weights), so the
@@ -261,17 +414,17 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
                 [np.cumprod(cards[::-1])[::-1][1:], [1]])
             f_cwstride_full[f, : hi - lo] = strides
             sizes[f] = int(np.prod(cards))
-        T = int(sizes.sum())
-        if T > (1 << 28):
+        Tcw = int(sizes.sum())
+        if Tcw > (1 << 28):
             raise ValueError(
-                f"sparse combination tables too large ({T} entries); "
+                f"sparse combination tables too large ({Tcw} entries); "
                 "cap is 2^28 — split the factor or use dense weights")
         bases = np.concatenate([[0], np.cumsum(sizes)[:-1]])
         f_cwbase_full[sparse_f] = bases[sparse_f]
         m = (graph.cw_cats.astype(np.int64)
              * f_cwstride_full[graph.cw_fid, : graph.cw_cats.shape[1]]
              ).sum(axis=1)
-        cwt_wid = np.full(max(T, 1), ZERO_WID, np.int32)
+        cwt_wid = np.full(max(Tcw, 1), ZERO_WID, np.int32)
         cwt_wid[f_cwbase_full[graph.cw_fid] + m] = graph.cw_wid
         f_cwbase = f_cwbase_full.astype(np.int32)
         f_cwstride = f_cwstride_full.astype(np.int32)
@@ -280,157 +433,265 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
         f_cwbase = np.full(1, -1, np.int32)
         f_cwstride = np.zeros((1, 1), np.int32)
 
-    # --- color-major incidence streams [C, B, D, ...] -------------------
-    # Assembled in bounded row chunks: peak temporary memory stays
-    # O(CHUNK·D·A) however large the graph is (KBC-scale compile,
-    # VERDICT.md r1 #3), and the hot streams use the narrowest dtype that
-    # fits (cs_type int8, cs_arity int16, cs_eq int16 when the category
-    # ids allow; an all-boolean graph stores NO eq stream at all — the
-    # engine never reads it when CompileInfo.all_boolean).
+    # --- shared per-factor derived arrays ----------------------------------
     all_boolean = bool((graph.var_dtype == fs.DTYPE_BOOLEAN).all()
                        and (graph.e_eqpred == 1).all() and not has_cw)
-    present_funcs = tuple(sorted(int(t) for t in np.unique(graph.f_type)))
+    present_all = tuple(sorted(int(t) for t in np.unique(graph.f_type)))
     assert A < (1 << 15) and np.max(graph.f_type, initial=0) < (1 << 7)
-    A1 = A - 1
-    cs_nbr = np.empty((C, B, D, A1), np.int32)
-    cs_ismine = np.empty((C, B, D, A), bool)
-    cs_hmask = np.empty((C, B, D, A), bool)
-    cs_pos = np.empty((C, B, D, A), bool)
-    cs_mask = np.empty((C, B, D, A), bool)
-    cs_eq = (np.ones((C, 1, 1, 1), eq_dtype) if all_boolean
-             else np.empty((C, B, D, A), eq_dtype))
-    cs_type = np.empty((C, B, D), np.int8)
-    cs_arity = np.empty((C, B, D), np.int16)
-    cs_wid = np.empty((C, B, D), np.int32)
-    cs_feat = np.empty((C, B, D), np.float32)
-    cs_gowner = np.empty((C, B, D), bool)
-    cs_gtouch = np.empty((C, B, D), bool)
     # factor -> min member position (dummy/pad factors -> P: never matches)
     f_minpos = np.where(f_mask, f_vids, np.int32(P)).min(axis=1)
     # factor -> touches an evidence variable
     f_touch = ((var_role[f_vids] == fs.ROLE_EVIDENCE) & f_mask).any(axis=1)
+
+    # pair (factor, position) streams for per-tier incidence CSRs
+    up = pos_of_vid[uv]                       # position per pair
+    rloc = up % B                             # row within color block
+    tier_of_pair = tier_of_v[uv]
+
+    tiers = []
+    tier_infos = []
+    for t in range(T):
+        sel = tier_of_pair == t
+        ts, ti = _build_tier(
+            t, int(off[t]), int(Bt[t]), C, B, P, DUMMY,
+            up[sel], uf[sel], rloc[sel],
+            f_vids, f_ispos, f_eqpred, f_mask, f_type, f_arity, f_wid,
+            f_feat, f_minpos, f_touch, f_cwbase, f_cwstride,
+            var_card, var_role,
+            A, K, eq_dtype, all_boolean, has_cw,
+            bool(try_band_t[t]), band_tile, band_wmax)
+        tiers.append(ts)
+        tier_infos.append(ti)
+
+    dg = DeviceGraph(
+        f_vids=f_vids, f_ispos=f_ispos, f_eqpred=f_eqpred, f_mask=f_mask,
+        f_type=f_type, f_wid=f_wid, f_feat=f_feat, f_arity=f_arity,
+        var_card=var_card, var_role=var_role, var_init=var_init,
+        pos_of_vid=pos_of_vid.astype(np.int32),
+        w_init=np.append(graph.w_init, 0.0).astype(np.float32),
+        w_fixed=np.append(graph.w_fixed, True).astype(bool),
+        cwt_wid=cwt_wid, f_cwbase=f_cwbase, f_cwstride=f_cwstride,
+        tiers=tuple(tiers),
+    )
+    info = CompileInfo(
+        n_vars=V, n_factors=F, n_weights=graph.n_weights, n_colors=C,
+        max_arity=A, max_degree=int(degree_v.max()) if V else 1,
+        max_card=K,
+        block_size=B,
+        present_funcs=present_all,
+        all_boolean=all_boolean,
+        band_w=max((ti.band_w for ti in tier_infos), default=0),
+        band_tb=band_tile,
+        bounds=all(ti.bounds for ti in tier_infos),
+        affine2=any(ti.affine2 for ti in tier_infos),
+        has_sparse_cw=has_cw,
+        tiers=tuple(tier_infos),
+    )
+    return dg, info
+
+
+def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
+                DUMMY: int, up, uf, rloc,
+                f_vids, f_ispos, f_eqpred, f_mask, f_type, f_arity, f_wid,
+                f_feat, f_minpos, f_touch, f_cwbase, f_cwstride,
+                var_card, var_role,
+                A: int, K: int, eq_dtype, all_boolean: bool, has_cw: bool,
+                try_band: bool, band_tile: int,
+                band_wmax: int) -> tuple[TierStreams, TierInfo]:
+    """Assemble one tier's streams.
+
+    (up, uf, rloc): this tier's (position, factor, row-in-color-block)
+    incidence pairs; f_* arrays are the GLOBAL padded factor arrays with
+    row stride A — this tier only reads the leading A_t columns (its
+    incident factors all have arity <= A_t by construction).
+    """
+    # degree per tier-local row
+    rows_t = (up // B) * Bt + (rloc - off_t)   # [n_pairs] in [0, C*Bt)
+    deg_rows = np.bincount(rows_t, minlength=C * Bt)
+    D = max(int(deg_rows.max()) if len(rows_t) else 1, 1)
+    A_t = max(int(f_arity[uf].max()) if len(uf) else 1, 1)
+    present_t = (tuple(sorted(int(x) for x in np.unique(f_type[uf])))
+                 if len(uf) else ())
+
+    # variable(row) → DISTINCT incident factors [C*Bt, D]
+    v_fidx = np.full((C * Bt, D), f_vids.shape[0] - 1, np.int32)
+    order = np.argsort(rows_t, kind="stable")
+    sp, sf = rows_t[order], uf[order]
+    starts = np.searchsorted(sp, np.arange(C * Bt))
+    posn = np.arange(len(sp)) - starts[sp]
+    v_fidx[sp, posn] = sf
+
+    A1 = A_t - 1
+    cs_nbr = np.empty((C, Bt, D, A1), np.int32)
+    cs_ismine = np.empty((C, Bt, D, A_t), bool)
+    cs_hmask = np.empty((C, Bt, D, A_t), bool)
+    cs_pos = np.empty((C, Bt, D, A_t), bool)
+    cs_mask = np.empty((C, Bt, D, A_t), bool)
+    cs_eq = (np.ones((C, 1, 1, 1), eq_dtype) if all_boolean
+             else np.empty((C, Bt, D, A_t), eq_dtype))
+    cs_type = np.empty((C, Bt, D), np.int8)
+    cs_arity = np.empty((C, Bt, D), np.int16)
+    cs_wid = np.empty((C, Bt, D), np.int32)
+    cs_feat = np.empty((C, Bt, D), np.float32)
+    cs_gowner = np.empty((C, Bt, D), bool)
+    cs_gtouch = np.empty((C, Bt, D), bool)
     if has_cw:
-        cs_issparse = np.empty((C, B, D), bool)
-        cs_cwbase = np.empty((C, B, D), np.int32)
-        cs_cwstride = np.empty((C, B, D, A), np.int32)
+        cs_issparse = np.empty((C, Bt, D), bool)
+        cs_cwbase = np.empty((C, Bt, D), np.int32)
+        cs_cwstride = np.empty((C, Bt, D, A_t), np.int32)
     else:
         cs_issparse = np.zeros((C, 1, 1), bool)
         cs_cwbase = np.zeros((C, 1, 1), np.int32)
         cs_cwstride = np.zeros((C, 1, 1, 1), np.int32)
-    # fused-affine candidacy is decided before banding (banding success is
-    # confirmed after; on failure the buffers are dropped)
-    affine_cand = bool(try_band and all_boolean and A == 2)
-    ab_a = np.empty((C, B, D), np.float32) if affine_cand else None
-    ab_b = np.empty((C, B, D), np.float32) if affine_cand else None
+
+    affine_cand = bool(try_band and all_boolean and A_t == 2)
+    ab_a = np.empty((C, Bt, D), np.float32) if affine_cand else None
+    ab_b = np.empty((C, Bt, D), np.float32) if affine_cand else None
     if affine_cand:
         from .ops.fused import affine_pairwise
 
-    # native multithreaded builder (sparse-cw graphs stay on numpy)
+    # --- native multithreaded builder (sparse-cw graphs stay on numpy) ----
     used_native = False
     if not has_cw:
         from . import native as native_mod
 
         outs = {
-            "cs_nbr": cs_nbr.reshape(C * B, D, A1),
-            "cs_ismine": cs_ismine.reshape(C * B, D, A),
-            "cs_hmask": cs_hmask.reshape(C * B, D, A),
-            "cs_pos": cs_pos.reshape(C * B, D, A),
-            "cs_mask": cs_mask.reshape(C * B, D, A),
-            "cs_type": cs_type.reshape(C * B, D),
-            "cs_arity": cs_arity.reshape(C * B, D),
-            "cs_wid": cs_wid.reshape(C * B, D),
-            "cs_feat": cs_feat.reshape(C * B, D),
-            "cs_gowner": cs_gowner.reshape(C * B, D),
-            "cs_gtouch": cs_gtouch.reshape(C * B, D),
+            "cs_nbr": cs_nbr.reshape(C * Bt, D, A1),
+            "cs_ismine": cs_ismine.reshape(C * Bt, D, A_t),
+            "cs_hmask": cs_hmask.reshape(C * Bt, D, A_t),
+            "cs_pos": cs_pos.reshape(C * Bt, D, A_t),
+            "cs_mask": cs_mask.reshape(C * Bt, D, A_t),
+            "cs_type": cs_type.reshape(C * Bt, D),
+            "cs_arity": cs_arity.reshape(C * Bt, D),
+            "cs_wid": cs_wid.reshape(C * Bt, D),
+            "cs_feat": cs_feat.reshape(C * Bt, D),
+            "cs_gowner": cs_gowner.reshape(C * Bt, D),
+            "cs_gtouch": cs_gtouch.reshape(C * Bt, D),
         }
         if not all_boolean:
-            outs["cs_eq"] = cs_eq.reshape(C * B, D, A)
+            outs["cs_eq"] = cs_eq.reshape(C * Bt, D, A_t)
         if affine_cand:
-            outs["ab_a"] = ab_a.reshape(C * B, D)
-            outs["ab_b"] = ab_b.reshape(C * B, D)
+            outs["ab_a"] = ab_a.reshape(C * Bt, D)
+            outs["ab_b"] = ab_b.reshape(C * Bt, D)
+        # tier rows index the GLOBAL position space via row_base/off:
+        # position of tier row r = (r // Bt) * B + off_t + (r % Bt)
         used_native = native_mod.build_streams(
-            np.ascontiguousarray(v_fidx[:-1]), f_vids, f_ispos, f_eqpred,
+            v_fidx, f_vids, f_ispos, f_eqpred,
             f_mask, f_type, f_arity, f_wid, f_feat,
             np.ascontiguousarray(f_minpos, np.int32), f_touch,
-            outs, P, DUMMY, do_affine=affine_cand)
+            outs, P, DUMMY, do_affine=affine_cand,
+            a_cols=A_t, row_to_pos=(B, Bt, off_t))
 
     take = np.take_along_axis
-    iota_a = np.arange(A, dtype=np.int16)[None, None, :]
-    CHUNK = max(1, (1 << 24) // max(D * A, 1))
-    for c in range(C if not used_native else 0):
-        for b0 in range(0, B, CHUNK):
-            b1 = min(b0 + CHUNK, B)
-            fi = v_fidx[c * B + b0: c * B + b1]        # [n, D]
-            mv = f_vids[fi]                            # [n, D, A]
-            own = np.arange(c * B + b0, c * B + b1,
-                            dtype=np.int32)[:, None, None]
-            ismine = mv == own
-            ar = f_arity[fi]                           # [n, D] int16
-            msk = f_mask[fi]
-            # head slot = original slot arity-1, pre-permutation
-            hm = (iota_a == ar[..., None] - 1) & msk
-            pos = f_ispos[fi]
-            eq = None if all_boolean else f_eqpred[fi]
-            cw = f_cwstride[fi] if has_cw else None
+    iota_a = np.arange(A_t, dtype=np.int16)[None, None, :]
+    CHUNK = max(1, (1 << 24) // max(D * A_t, 1))
+    n_rows = C * Bt if not used_native else 0
+    for r0 in range(0, n_rows, CHUNK):
+        r1 = min(r0 + CHUNK, n_rows)
+        fi = v_fidx[r0:r1]                          # [n, D]
+        mv = f_vids[fi][..., :A_t]                  # [n, D, A_t]
+        c_of = np.arange(r0, r1, dtype=np.int64) // Bt
+        own = (c_of * B + off_t
+               + (np.arange(r0, r1, dtype=np.int64) % Bt)
+               ).astype(np.int32)[:, None, None]
+        ismine = mv == own
+        ar = f_arity[fi]                            # [n, D] int16
+        msk = f_mask[fi][..., :A_t]
+        # head slot = original slot arity-1, pre-permutation
+        hm = (iota_a == ar[..., None] - 1) & msk
+        pos = f_ispos[fi][..., :A_t]
+        eq = None if all_boolean else f_eqpred[fi][..., :A_t]
+        cw = f_cwstride[fi][..., :A_t] if has_cw else None
 
-            # permute each (variable, factor) slot list OWN-LAST (stable:
-            # neighbor slots keep their relative order); slot A-1 is then
-            # always own for real incident factors (n_own >= 1), so the
-            # gather needs only slots :A-1
-            if A == 2:
-                # stable own-last = swap iff exactly slot 0 is own
-                sw = (ismine[..., 0] & ~ismine[..., 1])[..., None]
+        # permute each (variable, factor) slot list OWN-LAST (stable:
+        # neighbor slots keep their relative order); slot A_t-1 is then
+        # always own for real incident factors (n_own >= 1), so the
+        # gather needs only slots :A_t-1
+        if A_t == 2:
+            # stable own-last = swap iff exactly slot 0 is own
+            sw = (ismine[..., 0] & ~ismine[..., 1])[..., None]
 
-                def permute(x):
-                    return np.where(sw, x[..., ::-1], x)
-            else:
-                perm = np.argsort(ismine, axis=-1, kind="stable")
+            def permute(x):
+                return np.where(sw, x[..., ::-1], x)
+        else:
+            perm = np.argsort(ismine, axis=-1, kind="stable")
 
-                def permute(x):
-                    return take(x, perm, axis=-1)
+            def permute(x):
+                return take(x, perm, axis=-1)
 
-            mv_p = permute(mv)
-            ismine_p = permute(ismine)
-            cs_nbr[c, b0:b1] = np.where(ismine_p, np.int32(DUMMY),
-                                        mv_p)[..., :A1]
-            cs_ismine[c, b0:b1] = ismine_p
-            cs_hmask[c, b0:b1] = permute(hm)
-            cs_pos[c, b0:b1] = permute(pos)
-            cs_mask[c, b0:b1] = permute(msk)
-            if not all_boolean:
-                cs_eq[c, b0:b1] = permute(eq)
-            cs_type[c, b0:b1] = f_type[fi]
-            cs_arity[c, b0:b1] = ar
-            cs_wid[c, b0:b1] = f_wid[fi]
-            cs_feat[c, b0:b1] = f_feat[fi]
-            cs_gowner[c, b0:b1] = f_minpos[fi] == own[..., 0]
-            cs_gtouch[c, b0:b1] = cs_gowner[c, b0:b1] & f_touch[fi]
-            if has_cw:
-                base_fi = f_cwbase[fi]
-                cs_issparse[c, b0:b1] = base_fi >= 0
-                cs_cwbase[c, b0:b1] = np.maximum(base_fi, 0)
-                cs_cwstride[c, b0:b1] = permute(cw)
-            if affine_cand:
-                ab_a[c, b0:b1], ab_b[c, b0:b1] = affine_pairwise(
-                    cs_pos[c, b0:b1], cs_mask[c, b0:b1], ismine_p,
-                    cs_hmask[c, b0:b1], cs_type[c, b0:b1], present_funcs)
+        mv_p = permute(mv)
+        ismine_p = permute(ismine)
+        sl = slice(r0, r1)
+        flat = lambda a: a.reshape(C * Bt, *a.shape[2:])
+        flat(cs_nbr)[sl] = np.where(ismine_p, np.int32(DUMMY),
+                                    mv_p)[..., :A1]
+        flat(cs_ismine)[sl] = ismine_p
+        flat(cs_hmask)[sl] = permute(hm)
+        flat(cs_pos)[sl] = permute(pos)
+        flat(cs_mask)[sl] = permute(msk)
+        if not all_boolean:
+            flat(cs_eq)[sl] = permute(eq)
+        flat(cs_type)[sl] = f_type[fi]
+        flat(cs_arity)[sl] = ar
+        flat(cs_wid)[sl] = f_wid[fi]
+        flat(cs_feat)[sl] = f_feat[fi]
+        flat(cs_gowner)[sl] = f_minpos[fi] == own[..., 0]
+        flat(cs_gtouch)[sl] = flat(cs_gowner)[sl] & f_touch[fi]
+        if has_cw:
+            base_fi = f_cwbase[fi]
+            flat(cs_issparse)[sl] = base_fi >= 0
+            flat(cs_cwbase)[sl] = np.maximum(base_fi, 0)
+            flat(cs_cwstride)[sl] = permute(cw)
+        if affine_cand:
+            aa, bb = affine_pairwise(
+                flat(cs_pos)[sl], flat(cs_mask)[sl], ismine_p,
+                flat(cs_hmask)[sl], flat(cs_type)[sl], present_t)
+            flat(ab_a)[sl] = aa
+            flat(ab_b)[sl] = bb
 
-    # --- banded-gather window plan --------------------------------------
-    from .ops.banded import plan_banding
+    # --- banded-gather window plan / true read bounds ----------------------
+    from .ops.banded import plan_banding, plan_banding_multi
 
-    bd_start, band_w, bd_lo, bd_hi = (
-        plan_banding(cs_nbr, P, band_tile, band_wmax)
-        if try_band else (None, 0, None, None))
+    band_k = 0
+    bd_rnbr = np.zeros((C, 1, 1), np.int32)
+    if try_band:
+        bd_start, band_w, bd_lo, bd_hi = plan_banding(
+            cs_nbr, P, band_tile, band_wmax)
+        if bd_start is not None:
+            band_k = 1
+        if C > 1 and A1 > 0 and band_k != 1:
+            # single contiguous window failed (neighbors live in several
+            # color blocks — any graph with >2 colors): one window per
+            # source color block, gathered as one concatenated-window
+            # one-hot matmul (ops/banded.py plan_banding_multi)
+            st_m, w_m, k_m, rn_m, lo_m, hi_m = plan_banding_multi(
+                cs_nbr, P, band_tile, band_wmax, B, C)
+            if st_m is not None and k_m >= 1:
+                bd_start, band_w, band_k = st_m, w_m, k_m
+                bd_rnbr = rn_m
+                bd_lo, bd_hi = lo_m, hi_m
+    elif A1 > 0 and Bt >= 1:
+        # bounds-only pass (single tile per color): keeps the halo plan
+        # alive for tiers too small to band
+        bd_start, band_w, bd_lo, bd_hi = plan_banding(cs_nbr, P, Bt, 0)
+    else:
+        # unary tier: reads nothing — empty bounds are exact
+        bd_start, band_w = None, 0
+        bd_lo = np.full((C, 1), P, np.int32)
+        bd_hi = np.zeros((C, 1), np.int32)
+    bounds = bd_lo is not None
     if bd_start is None:
         bd_start, band_w = np.zeros((C, 1), np.int32), 0
+    if bd_lo is None:
         bd_lo = np.zeros((C, 1), np.int32)
         bd_hi = np.zeros((C, 1), np.int32)
 
-    # --- fused affine color step (ops/fused.py) --------------------------
-    affine2 = bool(band_w > 0 and affine_cand)
+    # --- fused affine color step (ops/fused.py) ----------------------------
+    # single-window banding only: the fused kernel DMAs one window
+    affine2 = bool(band_w > 0 and band_k == 1 and affine_cand)
     if affine2:
         ntiles = bd_start.shape[1]
-        TB = B // ntiles
+        TB = Bt // ntiles
         bd_nbr = (cs_nbr[..., 0].reshape(C, ntiles, TB, D)
                   .transpose(0, 1, 3, 2).reshape(C, ntiles, 1, D * TB)
                   .copy())
@@ -438,41 +699,53 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
         ab_a = ab_b = np.zeros((C, 1, 1), np.float32)
         bd_nbr = np.zeros((C, 1, 1, 1), np.int32)
 
-    dg = DeviceGraph(
-        f_vids=f_vids, f_ispos=f_ispos, f_eqpred=f_eqpred, f_mask=f_mask,
-        f_type=f_type, f_wid=f_wid, f_feat=f_feat, f_arity=f_arity,
+    # --- draw masks ---------------------------------------------------------
+    cm_view = lambda a: a[:-1].reshape(C, B)[:, off_t:off_t + Bt]
+    cm_card = cm_view(var_card).copy()
+    cm_role = cm_view(var_role).copy()
+    cm_kmask = np.where(
+        np.arange(K)[None, None, :] < cm_card[:, :, None], 0.0, -1e30
+    ).astype(np.float32)
+    cm_resample = (cm_role == 0) & (cm_card > 1)
+    cm_resample_ev = cm_card > 1
+
+    ts = TierStreams(
         cs_nbr=cs_nbr, cs_ismine=cs_ismine, cs_hmask=cs_hmask,
         cs_pos=cs_pos, cs_eq=cs_eq, cs_mask=cs_mask,
         cs_type=cs_type, cs_arity=cs_arity, cs_wid=cs_wid, cs_feat=cs_feat,
         cs_gowner=cs_gowner, cs_gtouch=cs_gtouch,
-        bd_start=bd_start, bd_lo=bd_lo, bd_hi=bd_hi,
-        bd_nbr=bd_nbr, ab_a=ab_a, ab_b=ab_b,
-        var_card=var_card, var_role=var_role, var_init=var_init,
-        cm_card=cm_card, cm_role=cm_role,
-        cm_kmask=cm_kmask, cm_resample=cm_resample,
-        cm_resample_ev=cm_resample_ev,
-        pos_of_vid=pos_of_vid.astype(np.int32),
-        w_init=np.append(graph.w_init, 0.0).astype(np.float32),
-        w_fixed=np.append(graph.w_fixed, True).astype(bool),
-        cwt_wid=cwt_wid, f_cwbase=f_cwbase, f_cwstride=f_cwstride,
         cs_issparse=cs_issparse, cs_cwbase=cs_cwbase,
         cs_cwstride=cs_cwstride,
+        bd_start=bd_start, bd_rnbr=bd_rnbr, bd_lo=bd_lo, bd_hi=bd_hi,
+        bd_nbr=bd_nbr, ab_a=ab_a, ab_b=ab_b,
+        cm_kmask=cm_kmask, cm_resample=cm_resample,
+        cm_resample_ev=cm_resample_ev,
     )
-    info = CompileInfo(
-        n_vars=V, n_factors=F, n_weights=graph.n_weights, n_colors=C,
-        max_arity=A, max_degree=D, max_card=int(graph.var_card.max()),
-        block_size=B,
-        present_funcs=present_funcs,
-        all_boolean=all_boolean,
+    ti = TierInfo(
+        off=off_t, block=Bt, degree=D, arity=A_t,
         band_w=band_w, band_tb=band_tile if band_w else 0,
-        affine2=affine2,
-        has_sparse_cw=has_cw,
+        band_k=band_k,
+        bounds=bounds, affine2=affine2,
+        present_funcs=present_t,
     )
-    return dg, info
+    return ts, ti
+
+
+def iter_arrays(dg: DeviceGraph):
+    """Yield (name, array) over every array in the DeviceGraph, tiers
+    included (names are 'tier{t}.{field}')."""
+    for name in dg._fields:
+        if name == "tiers":
+            for t, ts in enumerate(dg.tiers):
+                for f in ts._fields:
+                    yield f"tier{t}.{f}", getattr(ts, f)
+        else:
+            yield name, getattr(dg, name)
 
 
 def to_device(dg: DeviceGraph):
-    """Move all arrays to the default JAX device as a DeviceGraph of jnp arrays."""
+    """Move all arrays to the default JAX device (same pytree structure)."""
+    import jax
     import jax.numpy as jnp
 
-    return DeviceGraph(*(jnp.asarray(a) for a in dg))
+    return jax.tree_util.tree_map(jnp.asarray, dg)

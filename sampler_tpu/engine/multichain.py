@@ -178,32 +178,50 @@ def _phi_from_counts(nlit, head, n, f_type, present):
     return jnp.select(conds, vals, default=zero)
 
 
-def _nbr_lits(dg, values, c, info, modes):
-    """Gather + literal-ize the NEIGHBOR slots of color ``c``.
+def tier_modes(ti, modes) -> tuple:
+    """Per-tier mechanism gating: a tier without a banding plan runs the
+    plain gather even when the graph-level mode is Pallas; a tier without
+    an affine plan never routes to the fused kernel."""
+    band, fused = modes
+    if ti.band_w <= 0:
+        band = "off"
+    if not ti.affine2:
+        fused = "off"
+    return band, fused
+
+
+def _nbr_lits(ts, ti, values, c, info, modes):
+    """Gather + literal-ize the NEIGHBOR slots of tier ``ts``, color ``c``.
 
     Returns (nbr_lit [B, D, A-1, NC] bool, pos [B,D,A], eq [B,D,A],
-    vals [B, D, A-1, NC] raw gathered values — None on unary graphs).
+    vals [B, D, A-1, NC] raw gathered values — None on unary tiers).
     Only the leading A-1 (own-last-permuted) slots are gathered — the own
     slots' literals come from the candidate, so fetching them would waste
     gather issue slots (the sweep's dominant cost).
     """
-    nbr = dg.cs_nbr[c]                # [B, D, A-1]
-    pos = dg.cs_pos[c]                # [B, D, A]
-    eq = None if info.all_boolean else dg.cs_eq[c]
+    nbr = ts.cs_nbr[c]                # [B, D, A-1]
+    pos = ts.cs_pos[c]                # [B, D, A]
+    eq = None if info.all_boolean else ts.cs_eq[c]
     dt = values.dtype
     A1 = nbr.shape[-1]
     NC = values.shape[-1]
-    if A1 == 0:                       # unary-only graph: nothing to gather
+    if A1 == 0:                       # unary-only tier: nothing to gather
         return jnp.zeros(nbr.shape + (NC,), bool), pos, eq, None
-    if modes[0] != "off":
+    band = tier_modes(ti, modes)[0]
+    if band != "off":
         # MXU path: gather as banded one-hot matmul (ops/banded.py)
-        from ..ops.banded import banded_gather
+        from ..ops.banded import banded_gather, banded_gather_multi
 
         B, D = nbr.shape[0], nbr.shape[1]
-        ntiles = B // info.band_tb
-        nbr2 = nbr.reshape(ntiles, info.band_tb * D * A1)
-        vals = banded_gather(values, nbr2, dg.bd_start[c], info.band_w,
-                             modes[0])
+        if ti.band_k >= 2:
+            vals = banded_gather_multi(values, ts.bd_rnbr[c],
+                                       ts.bd_start[c], ti.band_w,
+                                       ti.band_k, band)
+        else:
+            ntiles = B // ti.band_tb
+            nbr2 = nbr.reshape(ntiles, ti.band_tb * D * A1)
+            vals = banded_gather(values, nbr2, ts.bd_start[c], ti.band_w,
+                                 band)
         vals = vals.reshape(B, D, A1, NC)
     else:
         vals = values[nbr]            # [B, D, A-1, NC]  row gather
@@ -215,13 +233,14 @@ def _nbr_lits(dg, values, c, info, modes):
     return nbr_lit, pos, eq, vals
 
 
-def color_logits_mc(dg, values, weights, c, info, modes=("off", "off")):
-    """Conditional log-potentials [B, K, NC] for color ``c``."""
+def color_logits_mc(dg, ts, ti, values, weights, c, info,
+                    modes=("off", "off")):
+    """Conditional log-potentials [B, K, NC] for tier ``ts``, color ``c``."""
     K = info.max_card
-    A = dg.cs_mask.shape[-1]
-    nbr_lit, pos, eq, vals_raw = _nbr_lits(dg, values, c, info, modes)
+    A = ts.cs_mask.shape[-1]
+    nbr_lit, pos, eq, vals_raw = _nbr_lits(ts, ti, values, c, info, modes)
     A1 = A - 1
-    msk = dg.cs_mask[c]
+    msk = ts.cs_mask[c]
     ks = jax.lax.broadcasted_iota(jnp.int32, (K,), 0)
 
     if eq is None:
@@ -230,7 +249,7 @@ def color_logits_mc(dg, values, weights, c, info, modes=("off", "off")):
         cand_lit = (ks[None, None, :, None] == eq[:, :, None, :]) \
             == pos[:, :, None, :]                      # [B, D, K, A]
 
-    is_mine = dg.cs_ismine[c]                          # [B, D, A] streamed
+    is_mine = ts.cs_ismine[c]                          # [B, D, A] streamed
 
     # [B, D, K, A, NC]: candidate at own slots, gathered at neighbor slots.
     # Slot A-1 is always own (own-last permutation), so only the leading
@@ -243,15 +262,16 @@ def color_logits_mc(dg, values, weights, c, info, modes=("off", "off")):
                                 lit_head.shape[:3] + (1, NC))
     lit_k = jnp.concatenate([lit_head, lit_last], axis=-2)
 
+    present = ti.present_funcs or info.present_funcs
     phi = _eval_phi_ax2(
         lit_k,
         msk[:, :, None, :, None],
-        dg.cs_type[c][:, :, None, None],
-        dg.cs_arity[c][:, :, None, None],
-        info.present_funcs,
-        hmask=dg.cs_hmask[c][:, :, None, :, None],
+        ts.cs_type[c][:, :, None, None],
+        ts.cs_arity[c][:, :, None, None],
+        present,
+        hmask=ts.cs_hmask[c][:, :, None, :, None],
     )                                                  # [B, D, K, NC]
-    wf = (weights[dg.cs_wid[c]] * dg.cs_feat[c])[:, :, None, None]
+    wf = (weights[ts.cs_wid[c]] * ts.cs_feat[c])[:, :, None, None]
     contrib = wf * phi
     if info.has_sparse_cw:
         # sparse per-combination weights: the incident factor contributes
@@ -259,7 +279,7 @@ def color_logits_mc(dg, values, weights, c, info, modes=("off", "off")):
         # at own slots, gathered value at neighbor slots); table misses
         # land on the reserved zero weight, so no mask is needed.  Missing
         # candidate rows (k >= card) are killed later by cm_kmask.
-        stride = dg.cs_cwstride[c]                     # [B, D, A]
+        stride = ts.cs_cwstride[c]                     # [B, D, A]
         s_own = jnp.sum(jnp.where(is_mine, stride, 0),
                         axis=-1).astype(jnp.int32)     # [B, D]
         if vals_raw is None:
@@ -269,19 +289,19 @@ def color_logits_mc(dg, values, weights, c, info, modes=("off", "off")):
                 stride[..., :A1, None].astype(jnp.int32)
                 * vals_raw.astype(jnp.int32), axis=-2)  # [B, D, NC]
         T = dg.cwt_wid.shape[0]
-        m = (dg.cs_cwbase[c][:, :, None, None]
+        m = (ts.cs_cwbase[c][:, :, None, None]
              + s_own[:, :, None, None] * ks[None, None, :, None]
              + nbr_sum[:, :, None, :])
         swid = dg.cwt_wid[jnp.clip(m, 0, T - 1)]
-        sc = weights[swid] * dg.cs_feat[c][:, :, None, None]
-        contrib = jnp.where(dg.cs_issparse[c][:, :, None, None], sc,
+        sc = weights[swid] * ts.cs_feat[c][:, :, None, None]
+        contrib = jnp.where(ts.cs_issparse[c][:, :, None, None], sc,
                             contrib)
     return jnp.sum(contrib, axis=1)                    # [B, K, NC]
 
 
-def color_delta_bool(dg, values, weights, c, info,
+def color_delta_bool(ts, ti, values, weights, c, info,
                      modes=("off", "off")):
-    """Boolean fast path: logit(v=1) − logit(v=0), [B, NC], for color ``c``.
+    """Boolean fast path: logit(v=1) − logit(v=0), [B, NC].
 
     Skips the K-candidate axis of the general path entirely: the candidate
     contribution at own slots reduces to compile-time literal counts
@@ -290,21 +310,21 @@ def color_delta_bool(dg, values, weights, c, info,
     uniform-sigmoid draw this is distribution-identical to Gumbel-argmax
     over two candidates.
     """
-    nbr_lit, pos, _, _ = _nbr_lits(dg, values, c, info, modes)
-    msk = dg.cs_mask[c]
-    ismine = dg.cs_ismine[c]
+    nbr_lit, pos, _, _ = _nbr_lits(ts, ti, values, c, info, modes)
+    msk = ts.cs_mask[c]
+    ismine = ts.cs_ismine[c]
     A1 = nbr_lit.shape[-2]
-    present = info.present_funcs
+    present = ti.present_funcs or info.present_funcs
 
     nbrm = (msk & ~ismine)[..., :A1, None]
     nl = jnp.sum(nbr_lit & nbrm, axis=-2).astype(jnp.int32)   # [B, D, NC]
     ownm = ismine & msk
     o1 = jnp.sum(ownm & pos, axis=-1).astype(jnp.int32)[..., None]  # [B,D,1]
     o0 = jnp.sum(ownm, axis=-1).astype(jnp.int32)[..., None] - o1
-    n = dg.cs_arity[c][..., None]
+    n = ts.cs_arity[c][..., None]
 
     if _need_head(present):
-        hmask = dg.cs_hmask[c]
+        hmask = ts.cs_hmask[c]
         head_own = jnp.any(hmask & ismine, axis=-1)[..., None]
         headpos = jnp.any(hmask & ismine & pos, axis=-1)[..., None]
         hl = jnp.any(nbr_lit & (hmask & ~ismine)[..., :A1, None], axis=-2)
@@ -313,66 +333,83 @@ def color_delta_bool(dg, values, weights, c, info,
     else:
         head1 = head0 = None
 
-    f_type = dg.cs_type[c][..., None]
+    f_type = ts.cs_type[c][..., None]
     phi1 = _phi_from_counts(nl + o1, head1, n, f_type, present)
     phi0 = _phi_from_counts(nl + o0, head0, n, f_type, present)
-    wf = (weights[dg.cs_wid[c]] * dg.cs_feat[c])[..., None]   # [B, D, 1]
+    wf = (weights[ts.cs_wid[c]] * ts.cs_feat[c])[..., None]   # [B, D, 1]
     return jnp.sum(wf * (phi1 - phi0), axis=1)                # [B, NC]
 
 
 def prepare_fold(dg, weights, info, modes):
     """Per-weights prep for the fused affine color step (ops/fused.py).
 
-    Returns (beta, base) streams or None when the fused path is not
-    applicable.  Called OUTSIDE the sweep loops — the fold includes a
-    weights gather that must be amortized over many sweeps."""
+    Returns a per-tier tuple of (beta, base) streams (None entries for
+    tiers the fused path does not cover), or None when no tier runs fused.
+    Called OUTSIDE the sweep loops — the fold includes a weights gather
+    that must be amortized over many sweeps."""
     from ..ops.fused import fold_affine
 
     if modes[1] == "off" or not info.affine2:
         return None
-    return fold_affine(dg, jnp.asarray(weights, jnp.float32), info)
+    w = jnp.asarray(weights, jnp.float32)
+    return tuple(
+        fold_affine(ts, w, ti.band_tb) if ti.affine2 else None
+        for ts, ti in zip(dg.tiers, info.tiers))
 
 
-def color_draw_mc(dg, values, weights, key, c, info, folded=None,
-                  modes=("off", "off")):
-    """Draw new candidate values [B, NC] for color ``c`` (no write-back)."""
-    if folded is not None:
+def color_draw_tier(dg, ts, ti, values, weights, key, c, info,
+                    folded_t=None, modes=("off", "off")):
+    """Draw new candidate values [B_t, NC] for one tier of color ``c``."""
+    if folded_t is not None and tier_modes(ti, modes)[1] != "off":
         from ..ops.fused import fused_color_draw
 
         seed = jax.lax.bitcast_convert_type(key, jnp.int32).reshape(-1)[:2]
-        D = dg.cs_mask.shape[2]
-        return fused_color_draw(values, dg.bd_nbr[c], dg.bd_start[c],
-                                folded[0][c], folded[1][c], seed,
-                                info.band_w, info.band_tb, D,
+        D = ts.cs_mask.shape[2]
+        return fused_color_draw(values, ts.bd_nbr[c], ts.bd_start[c],
+                                folded_t[0][c], folded_t[1][c], seed,
+                                ti.band_w, ti.band_tb, D,
                                 interpret=(modes[1] == "interpret"))
     if info.all_boolean and info.max_card == 2:
-        delta = color_delta_bool(dg, values, weights, c, info, modes)
+        delta = color_delta_bool(ts, ti, values, weights, c, info, modes)
         u = jax.random.uniform(key, delta.shape, dtype=delta.dtype)
         return (u < jax.nn.sigmoid(delta)).astype(values.dtype)
-    logits = color_logits_mc(dg, values, weights, c, info, modes)
-    masked = logits + dg.cm_kmask[c][:, :, None]
+    logits = color_logits_mc(dg, ts, ti, values, weights, c, info, modes)
+    masked = logits + ts.cm_kmask[c][:, :, None]
     g = jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
     return jnp.argmax(masked + g, axis=1).astype(values.dtype)
 
 
 def color_step_mc(dg, values, weights, key, c, sample_evidence: bool, info,
                   folded=None, modes=("off", "off")):
-    """Resample color ``c`` in all chains; returns updated values [P, NC]."""
-    B = dg.cs_mask.shape[1]
-    NC = values.shape[1]
-    drawn = color_draw_mc(dg, values, weights, key, c, info, folded, modes)
+    """Resample color ``c`` in all chains; returns updated values [P, NC].
 
-    resample = dg.cm_resample_ev[c] if sample_evidence else dg.cm_resample[c]
-    old = jax.lax.dynamic_slice(values, (c * B, 0), (B, NC))
-    new = jnp.where(resample[:, None], drawn, old)
-    return jax.lax.dynamic_update_slice(values, new, (c * B, 0))
+    Loops the (static, <= 4) degree tiers; tiers of one color share no
+    factor (they are same-color variables), so sequential tier updates are
+    exactly the simultaneous block update.  Single-tier graphs keep the
+    pre-tier RNG stream bit-for-bit (no extra key fold)."""
+    B = info.block_size
+    NC = values.shape[1]
+    if folded is None:
+        folded = (None,) * len(dg.tiers)
+    multi = len(dg.tiers) > 1
+    for t, (ts, ti) in enumerate(zip(dg.tiers, info.tiers)):
+        kt = jax.random.fold_in(key, t) if multi else key
+        drawn = color_draw_tier(dg, ts, ti, values, weights, kt, c, info,
+                                folded[t], modes)
+        resample = (ts.cm_resample_ev[c] if sample_evidence
+                    else ts.cm_resample[c])
+        start = c * B + ti.off
+        old = jax.lax.dynamic_slice(values, (start, 0), (ti.block, NC))
+        new = jnp.where(resample[:, None], drawn, old)
+        values = jax.lax.dynamic_update_slice(values, new, (start, 0))
+    return values
 
 
 def sweep_mc(dg, values, weights, key, sample_evidence: bool, info,
              folded=None, modes=None):
     if modes is None:
         modes = resolve_modes(info)
-    C = dg.cs_mask.shape[0]
+    C = info.n_colors
 
     def body(c, vals):
         ck = jax.random.fold_in(key, c)
@@ -468,8 +505,8 @@ def sparse_comb_wids(dg, values):
 
 
 def _phi_streams(values, ownv, nbr, pos, eq, ismine, msk, typ, ar, hmask,
-                 bd_start_c, info, modes):
-    """φ for a row-slice of one color's incidence streams at the CURRENT
+                 bd_start_c, bd_rnbr_c, ti, present, modes):
+    """φ for a row-slice of one tier's incidence streams at the CURRENT
     values: [rows, D, NC].  Same gather machinery as the draw path (banded
     MXU gather when enabled), but a single candidate — the variable's own
     value (ownv [rows, NC])."""
@@ -477,15 +514,20 @@ def _phi_streams(values, ownv, nbr, pos, eq, ismine, msk, typ, ar, hmask,
     A1 = A - 1
     NC = values.shape[-1]
     dt = values.dtype
+    band = tier_modes(ti, modes)[0]
     if A1 == 0:
         nbr_lit = jnp.zeros(nbr.shape + (NC,), bool)
-    elif modes[0] != "off":
-        from ..ops.banded import banded_gather
+    elif band != "off":
+        from ..ops.banded import banded_gather, banded_gather_multi
 
         rows, D = nbr.shape[0], nbr.shape[1]
-        ntc = rows // info.band_tb
-        nbr2 = nbr.reshape(ntc, info.band_tb * D * A1)
-        vals = banded_gather(values, nbr2, bd_start_c, info.band_w, modes[0])
+        if ti.band_k >= 2:
+            vals = banded_gather_multi(values, bd_rnbr_c, bd_start_c,
+                                       ti.band_w, ti.band_k, band)
+        else:
+            ntc = rows // ti.band_tb
+            nbr2 = nbr.reshape(ntc, ti.band_tb * D * A1)
+            vals = banded_gather(values, nbr2, bd_start_c, ti.band_w, band)
         vals = vals.reshape(rows, D, A1, NC)
     else:
         vals = values[nbr]
@@ -506,17 +548,17 @@ def _phi_streams(values, ownv, nbr, pos, eq, ismine, msk, typ, ar, hmask,
     lit = jnp.concatenate([lit_head, own_lit[..., A1:, :]], axis=-2)
     return _eval_phi_ax2(
         lit, msk[..., None], typ[:, :, None], ar[:, :, None],
-        info.present_funcs, hmask=hmask[..., None],
+        present, hmask=hmask[..., None],
     )                                                      # [rows, D, NC]
 
 
-def _grad_row_chunk(info, B: int, D: int, A: int, NC: int) -> int:
+def _grad_row_chunk(ti, B: int, D: int, A: int, NC: int) -> int:
     """Rows per gradient sub-block: bounds the [rows, D, A, NC] literal
     temporaries to ~64 MiB however large the color block is (the flagship
     1M-var graph at NC=256 OOMs HBM without this).  Banded gathers need the
     chunk tile-aligned."""
     target = 1 << 26
-    step = info.band_tb if info.band_w else 1
+    step = ti.band_tb if ti.band_w else 1
     rc = max(1, target // max(D * A * NC, 1))
     rc = min(max(step, (rc // step) * step), B)
     while rc > step and B % rc:
@@ -526,66 +568,82 @@ def _grad_row_chunk(info, B: int, D: int, A: int, NC: int) -> int:
 
 def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
                           modes=("off", "off"), row_chunk: int | None = None,
-                          global_B: int | None = None, row_origin=0):
+                          n_graph: int = 1, g=0):
     """Weight gradient on the cs streams: each factor counted once via its
     compile-time owner record (cs_gowner / cs_gtouch), neighbor values
-    fetched with the same (banded) gather the sweep uses, evaluated in
-    bounded row chunks.  Equivalent to the per-factor path for graphs
-    without sparse per-combination weights (tests/test_learning.py asserts
-    equality).
+    fetched with the same (banded) gather the sweep uses, evaluated per
+    tier in bounded row chunks.  Equivalent to the per-factor path for
+    graphs without sparse per-combination weights (tests/test_learning.py
+    asserts equality).
 
-    Under graph sharding ``dg`` holds a LOCAL stream slice while the values
-    vector stays global: pass the GLOBAL block size as ``global_B`` and the
-    shard's first row within each color block as ``row_origin`` so the
-    own-value slices index the right rows (owner records are disjoint
+    Under graph sharding ``dg`` holds LOCAL stream slices while the values
+    vector stays global: pass the graph-axis size ``n_graph`` and this
+    shard's index ``g`` so the own-value slices index the right rows (the
+    tier-local shard rows of tier t sit at global positions
+    c*B + ti.off + g*(ti.block//n_graph) + r; owner records are disjoint
     across shards, so shard gradients psum over the graph axis)."""
     W = dg.w_init.shape[0]
-    C, B, D, A = dg.cs_mask.shape
-    A1 = A - 1
     NC = v_ev.shape[-1]
-    rc = row_chunk or _grad_row_chunk(info, B, D, A, NC)
-    if B % rc:
-        raise ValueError(f"row_chunk {rc} must divide block size {B}")
-    nch = B // rc
-    TB = info.band_tb or 1
-    ntc = rc // TB if info.band_w else 1
     ds = jax.lax.dynamic_slice
     all_bool = info.all_boolean
+    gB = info.block_size
+    grad = jnp.zeros((W,), jnp.float32)
+    for ts, ti in zip(dg.tiers, info.tiers):
+        C, Bl, D, A = ts.cs_mask.shape       # Bl = local tier rows
+        A1 = A - 1
+        present = ti.present_funcs or info.present_funcs
+        rc = row_chunk or _grad_row_chunk(ti, Bl, D, A, NC)
+        rc = min(rc, Bl)
+        if Bl % rc:
+            raise ValueError(f"row_chunk {rc} must divide tier block {Bl}")
+        nch = Bl // rc
+        TB = ti.band_tb or 1
+        ntc = rc // TB if ti.band_w else 1
 
-    def body(i, grad):
-        c = i // nch
-        r0 = (i % nch) * rc
-        nbr = ds(dg.cs_nbr, (c, r0, 0, 0), (1, rc, D, A1))[0]
-        pos = ds(dg.cs_pos, (c, r0, 0, 0), (1, rc, D, A))[0]
-        eq = (None if all_bool
-              else ds(dg.cs_eq, (c, r0, 0, 0), (1, rc, D, A))[0])
-        ismine = ds(dg.cs_ismine, (c, r0, 0, 0), (1, rc, D, A))[0]
-        msk = ds(dg.cs_mask, (c, r0, 0, 0), (1, rc, D, A))[0]
-        hmask = ds(dg.cs_hmask, (c, r0, 0, 0), (1, rc, D, A))[0]
-        typ = ds(dg.cs_type, (c, r0, 0), (1, rc, D))[0]
-        ar = ds(dg.cs_arity, (c, r0, 0), (1, rc, D))[0]
-        bd_c = (ds(dg.bd_start, (c, r0 // TB), (1, ntc))[0]
-                if info.band_w else dg.bd_start[0, :1])
-        own0 = c * (global_B if global_B is not None else B) \
-            + row_origin + r0
-        own_e = ds(v_ev, (own0, 0), (rc, NC))
-        own_f = ds(v_free, (own0, 0), (rc, NC))
-        phi_e = _phi_streams(v_ev, own_e, nbr, pos, eq, ismine, msk, typ,
-                             ar, hmask, bd_c, info, modes)
-        phi_f = _phi_streams(v_free, own_f, nbr, pos, eq, ismine, msk, typ,
-                             ar, hmask, bd_c, info, modes)
-        gsrc = dg.cs_gowner if learn_non_evidence else dg.cs_gtouch
-        gm = ds(gsrc, (c, r0, 0), (1, rc, D))[0]
-        feat = ds(dg.cs_feat, (c, r0, 0), (1, rc, D))[0]
-        wid = ds(dg.cs_wid, (c, r0, 0), (1, rc, D))[0]
-        diff = jnp.mean(phi_e - phi_f, axis=-1) * feat
-        diff = jnp.where(gm, diff, 0.0)
-        return grad + jax.ops.segment_sum(diff.ravel(), wid.ravel(),
-                                          num_segments=W)
+        def body(i, grad, ts=ts, ti=ti, D=D, A=A, A1=A1, rc=rc, nch=nch,
+                 TB=TB, ntc=ntc, present=present):
+            c = i // nch
+            r0 = (i % nch) * rc
+            nbr = ds(ts.cs_nbr, (c, r0, 0, 0), (1, rc, D, A1))[0]
+            pos = ds(ts.cs_pos, (c, r0, 0, 0), (1, rc, D, A))[0]
+            eq = (None if all_bool
+                  else ds(ts.cs_eq, (c, r0, 0, 0), (1, rc, D, A))[0])
+            ismine = ds(ts.cs_ismine, (c, r0, 0, 0), (1, rc, D, A))[0]
+            msk = ds(ts.cs_mask, (c, r0, 0, 0), (1, rc, D, A))[0]
+            hmask = ds(ts.cs_hmask, (c, r0, 0, 0), (1, rc, D, A))[0]
+            typ = ds(ts.cs_type, (c, r0, 0), (1, rc, D))[0]
+            ar = ds(ts.cs_arity, (c, r0, 0), (1, rc, D))[0]
+            if ti.band_w and ti.band_k >= 2:
+                bd_c = ds(ts.bd_start, (c, r0 // TB, 0),
+                          (1, ntc, ti.band_k))[0]
+                rn_c = ds(ts.bd_rnbr, (c, r0 // TB, 0),
+                          (1, ntc, TB * D * A1))[0]
+            elif ti.band_w:
+                bd_c = ds(ts.bd_start, (c, r0 // TB), (1, ntc))[0]
+                rn_c = None
+            else:
+                bd_c, rn_c = ts.bd_start[0, :1], None
+            own0 = c * gB + ti.off + g * (ti.block // n_graph) + r0
+            own_e = ds(v_ev, (own0, 0), (rc, NC))
+            own_f = ds(v_free, (own0, 0), (rc, NC))
+            phi_e = _phi_streams(v_ev, own_e, nbr, pos, eq, ismine, msk,
+                                 typ, ar, hmask, bd_c, rn_c, ti, present,
+                                 modes)
+            phi_f = _phi_streams(v_free, own_f, nbr, pos, eq, ismine, msk,
+                                 typ, ar, hmask, bd_c, rn_c, ti, present,
+                                 modes)
+            gsrc = ts.cs_gowner if learn_non_evidence else ts.cs_gtouch
+            gm = ds(gsrc, (c, r0, 0), (1, rc, D))[0]
+            feat = ds(ts.cs_feat, (c, r0, 0), (1, rc, D))[0]
+            wid = ds(ts.cs_wid, (c, r0, 0), (1, rc, D))[0]
+            diff = jnp.mean(phi_e - phi_f, axis=-1) * feat
+            diff = jnp.where(gm, diff, 0.0)
+            return grad + jax.ops.segment_sum(diff.ravel(), wid.ravel(),
+                                              num_segments=W)
 
-    n = C * nch
-    return jax.lax.fori_loop(0, n, body, jnp.zeros((W,), jnp.float32),
-                             unroll=(n <= 4))
+        n = C * nch
+        grad = jax.lax.fori_loop(0, n, body, grad, unroll=(n <= 4))
+    return grad
 
 
 def mc_weight_gradient(dg, v_ev, v_free, learn_non_evidence: bool, info,

@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .multichain import (color_draw_mc, color_logits_mc, demote_modes,
+from .multichain import (color_logits_mc, color_step_mc, demote_modes,
                          resolve_modes)
 
 NEG_INF = jnp.float32(-1e30)
@@ -30,16 +30,21 @@ NEG_INF = jnp.float32(-1e30)
 def color_logits(dg, values, weights, c, info, modes=None):
     """Conditional log-potentials [B, K] for color ``c`` (traced index).
 
-    Thin single-chain wrapper over the chains-last kernel (NC=1): the
-    candidate value is substituted at EVERY slot of the factor whose member
-    is this variable, so factors mentioning the same variable in several
-    slots are handled exactly (each distinct incident factor appears once —
-    compile.py dedups the incidence lists).
+    Thin single-chain wrapper over the chains-last kernel (NC=1),
+    concatenated over the degree tiers: the candidate value is substituted
+    at EVERY slot of the factor whose member is this variable, so factors
+    mentioning the same variable in several slots are handled exactly (each
+    distinct incident factor appears once — compile.py dedups the incidence
+    lists).
     """
     if modes is None:
         modes = demote_modes(resolve_modes(info), 1)
-    return color_logits_mc(dg, values[:, None], weights, c, info,
-                           modes)[..., 0]
+    parts = [
+        color_logits_mc(dg, ts, ti, values[:, None], weights, c, info,
+                        modes)[..., 0]
+        for ts, ti in zip(dg.tiers, info.tiers)
+    ]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
 def color_step(dg, values, weights, key, c, sample_evidence: bool, info,
@@ -53,14 +58,8 @@ def color_step(dg, values, weights, key, c, sample_evidence: bool, info,
     """
     if modes is None:
         modes = demote_modes(resolve_modes(info), 1)
-    B = dg.cs_mask.shape[1]
-    drawn = color_draw_mc(dg, values[:, None], weights, key, c, info,
-                          None, modes)[:, 0]
-
-    resample = dg.cm_resample_ev[c] if sample_evidence else dg.cm_resample[c]
-    old = jax.lax.dynamic_slice(values, (c * B,), (B,))
-    new = jnp.where(resample, drawn, old)
-    return jax.lax.dynamic_update_slice(values, new, (c * B,))
+    return color_step_mc(dg, values[:, None], weights, key, c,
+                         sample_evidence, info, None, modes)[:, 0]
 
 
 def sweep(dg, values, weights, key, sample_evidence: bool, info,
@@ -69,7 +68,7 @@ def sweep(dg, values, weights, key, sample_evidence: bool, info,
     (CompileInfo is hashable)."""
     if modes is None:
         modes = demote_modes(resolve_modes(info), 1)
-    C = dg.cs_mask.shape[0]
+    C = info.n_colors
 
     def body(c, vals):
         ck = jax.random.fold_in(key, c)

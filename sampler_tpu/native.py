@@ -119,21 +119,34 @@ def greedy_color(n_vars: int, f_ptr: np.ndarray, e_vid: np.ndarray):
 def build_streams(v_fidx, f_vids, f_ispos, f_eqpred, f_mask, f_type,
                   f_arity, f_wid, f_feat, f_minpos, f_touch,
                   outs: dict, P: int, dummy_pos: int, do_affine: bool,
+                  a_cols: int | None = None,
+                  row_to_pos: tuple | None = None,
                   n_threads: int = 0) -> bool:
-    """Native multithreaded fill of the color-major incidence streams.
+    """Native multithreaded fill of one tier's color-major incidence
+    streams.
 
     ``outs`` maps field name -> preallocated array VIEWS shaped
-    [n_rows, D(, A...)] (compile.py passes its [C, B, ...] outputs reshaped
-    flat).  Returns False when the library is unavailable (caller falls
-    back to the numpy chunk loop).  Sparse-combination streams are NOT
-    handled here — compile.py keeps those on the numpy path.
+    [n_rows, D(, A_cols...)] (compile.py passes its [C, B_t, ...] outputs
+    reshaped flat).  ``a_cols``: columns emitted (tier max arity; the f_*
+    arrays keep their global-arity row stride).  ``row_to_pos``
+    = (B_full, Bt, off_t): tier row r sits at global position
+    (r // Bt) * B_full + off_t + (r % Bt).  Returns False when the library
+    is unavailable (caller falls back to the numpy chunk loop).
+    Sparse-combination streams are NOT handled here — compile.py keeps
+    those on the numpy path.
     """
     lib = _load() if available() else None
     if lib is None or not hasattr(lib, "sampler_build_streams"):
         return False
+    if version() != "sampler-native-0.3":
+        return False                       # stale .so: wrong ABI
     lib.sampler_build_streams.restype = ctypes.c_int64
     n_rows, D = v_fidx.shape
-    A = f_vids.shape[1]
+    A_stride = f_vids.shape[1]
+    A = a_cols if a_cols is not None else A_stride
+    if row_to_pos is None:
+        row_to_pos = (n_rows, n_rows, 0)   # rows ARE positions (one tier)
+    B_full, Bt, off_t = row_to_pos
     eq = outs.get("cs_eq")
     eq_is16 = 1 if (eq is not None and eq.dtype == np.int16) else 0
     if eq is not None and f_eqpred.dtype != eq.dtype:
@@ -145,7 +158,9 @@ def build_streams(v_fidx, f_vids, f_ispos, f_eqpred, f_mask, f_type,
     null = ctypes.c_void_p()
     rc = lib.sampler_build_streams(
         ctypes.c_int64(n_rows), ctypes.c_int64(D), ctypes.c_int64(A),
+        ctypes.c_int64(A_stride),
         ctypes.c_int64(P), ctypes.c_int64(dummy_pos),
+        ctypes.c_int64(B_full), ctypes.c_int64(Bt), ctypes.c_int64(off_t),
         ctypes.c_int64(eq_is16), ctypes.c_int64(1 if do_affine else 0),
         ctypes.c_int64(n_threads),
         ptr(v_fidx), ptr(f_vids), ptr(f_ispos),

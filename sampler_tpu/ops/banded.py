@@ -95,6 +95,78 @@ def plan_banding(cs_nbr: np.ndarray, P: int, tb: int, w_max: int = 8192):
             lo.astype(np.int32), (hi + 1).astype(np.int32))
 
 
+def plan_banding_multi(cs_nbr: np.ndarray, P: int, tb: int, w_max: int,
+                       block_B: int, n_blocks: int, k_max: int = 8):
+    """MULTI-WINDOW window analysis for multi-color graphs.
+
+    A single contiguous window cannot cover a tile's reads when its
+    neighbors live in several color blocks (any graph with >2 colors): the
+    blocks are B apart in position space.  But WITHIN each source color
+    block the reads are still local (after an RCM-style ordering), so each
+    tile gets up to K windows — one per source color block it reads — and
+    the gather becomes ONE one-hot matmul against the K windows
+    concatenated in VMEM.  Neighbor indices are REMAPPED at compile time
+    into the concatenated window space (rnbr = j*W + idx - start_j), which
+    makes double-counting impossible by construction and keeps the kernel
+    a single equality-iota + dot.
+
+    Returns (starts [C, ntiles, K] int32 DMA starts, W int, K int,
+             rnbr [C, ntiles, R] int32 remapped indices,
+             lo [C, ntiles], hi [C, ntiles] true GLOBAL read bounds)
+    or (None, 0, 0, None, lo, hi) when not applicable.
+    """
+    C, B, D, A1 = cs_nbr.shape
+    if A1 == 0 or B % tb != 0 or P < LANE:
+        return None, 0, 0, None, None, None
+    ntiles = B // tb
+    R = tb * D * A1
+    dummy = P - 1
+    lo_g = np.empty((C, ntiles), np.int32)
+    hi_g = np.empty((C, ntiles), np.int32)
+    # pass 1: per-(tile, source block) bounds, one color at a time
+    lob = np.full((C, ntiles, n_blocks), np.int64(P))
+    hib = np.full((C, ntiles, n_blocks), np.int64(-1))
+    for c in range(C):
+        idx = cs_nbr[c].reshape(ntiles, R).astype(np.int64)
+        real = idx != dummy
+        lo_g[c] = np.where(real, idx, P).min(axis=-1)
+        hi_g[c] = np.where(real, idx, -1).max(axis=-1)
+        blk = np.clip(idx // block_B, 0, n_blocks - 1)
+        for b in range(n_blocks):
+            sel = real & (blk == b)
+            lob[c, :, b] = np.where(sel, idx, P).min(axis=-1)
+            hib[c, :, b] = np.where(sel, idx, -1).max(axis=-1)
+    active = lob <= hib                       # [C, ntiles, n_blocks]
+    K = int(active.sum(axis=-1).max()) if active.any() else 0
+    if K == 0 or K > k_max:
+        return None, 0, 0, None, lo_g, hi_g + 1
+    astart = (np.where(active, lob, 0) // START_ALIGN) * START_ALIGN
+    spread = int(np.where(active, hib - astart + 1, 1).max())
+    W = _round_up(spread, LANE)
+    if W > min(w_max, P) or K * W > P + LANE:
+        return None, 0, 0, None, lo_g, hi_g + 1
+    astart = np.clip(astart, 0, P - W)
+    # compaction: the j-th active block of a tile takes window slot j
+    slot = np.cumsum(active, axis=-1) - 1     # [C, ntiles, n_blocks]
+    starts = np.zeros((C, ntiles, K), np.int32)
+    cc, tt, bb = np.nonzero(active)
+    starts[cc, tt, slot[cc, tt, bb]] = astart[cc, tt, bb]
+    # pass 2: remap neighbor indices into the concatenated window space
+    rnbr = np.empty((C, ntiles, R), np.int32)
+    for c in range(C):
+        idx = cs_nbr[c].reshape(ntiles, R).astype(np.int64)
+        real = idx != dummy
+        blk = np.clip(idx // block_B, 0, n_blocks - 1)
+        t_of = np.broadcast_to(np.arange(ntiles)[:, None], idx.shape)
+        j = slot[c, t_of, blk]
+        s = astart[c, t_of, blk]
+        rnbr[c] = np.where(real, j * np.int64(W) + idx - s,
+                           np.int64(K * W)).astype(np.int32)
+        assert (rnbr[c][real.nonzero()] < K * W).all()
+        assert (rnbr[c] >= 0).all()
+    return starts, W, K, rnbr, lo_g, hi_g + 1
+
+
 def band_mode() -> str:
     """'auto' | 'pallas' | 'xla' | 'interpret' | 'off'
     (env SAMPLER_TPU_BAND overrides)."""
@@ -190,6 +262,113 @@ def banded_gather_pallas(values, nbr, starts, W: int, interpret: bool = False):
         interpret=interpret,
     )(starts, nbr.reshape(ntiles, 1, R), values)
     return out
+
+
+def _band_kernel_multi(starts_ref, rnbr_ref, values_ref, out_ref, win_ref,
+                       sems, *, W: int, K: int, R: int, out_dtype):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = pl.program_id(0)
+    copies = []
+    for k in range(K):                                 # static unroll
+        start = pl.multiple_of(starts_ref[t, k], 256)
+        cp = pltpu.make_async_copy(
+            values_ref.at[pl.ds(start, W), :],
+            win_ref.at[pl.ds(k * W, W), :], sems.at[k])
+        cp.start()
+        copies.append(cp)
+    il = rnbr_ref[0]                                   # [1, R] remapped
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (K * W, R), 0)
+    oh_t = (il == iota_w).astype(jnp.int8)             # [K*W, R]
+    for cp in copies:
+        cp.wait()
+    acc = jax.lax.dot_general(
+        oh_t, win_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)              # [R, NC]
+    out_ref[:] = acc.astype(out_dtype)
+
+
+def banded_gather_pallas_multi(values, rnbr, starts, W: int, K: int,
+                               interpret: bool = False):
+    """Multi-window variant: rnbr int32 [ntiles, R] REMAPPED indices into
+    the concatenated window space [0, K*W); starts int32 [ntiles, K] DMA
+    starts per window.  Returns [ntiles * R, NC] values.dtype."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ntiles, R = rnbr.shape
+    P, NC = values.shape
+    kern = partial(_band_kernel_multi, W=W, K=K, R=R, out_dtype=values.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, R), lambda t, s: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),         # values stay in HBM
+        ],
+        out_specs=pl.BlockSpec((R, NC), lambda t, s: (t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((K * W, NC), values.dtype),
+            pltpu.SemaphoreType.DMA((K,)),
+        ],
+    )
+    flops = 2 * ntiles * R * K * W * NC
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ntiles * R, NC), values.dtype,
+                                       vma=out_vma(values, rnbr, starts)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=0,
+            bytes_accessed=int(ntiles * (R * 4 + K * W * NC + R * NC))),
+        interpret=interpret,
+    )(starts, rnbr.reshape(ntiles, 1, R), values)
+    return out
+
+
+def banded_gather_xla_multi(values, rnbr, starts, W: int, K: int,
+                            tile_batch: int = 8):
+    """Pure-XLA multi-window fallback (also the CPU reference)."""
+    import jax
+    import jax.numpy as jnp
+
+    ntiles, R = rnbr.shape
+    P, NC = values.shape
+    tb = min(tile_batch, ntiles)
+    while ntiles % tb:
+        tb -= 1
+    rnbr_b = rnbr.reshape(ntiles // tb, tb, R)
+    starts_b = starts.reshape(ntiles // tb, tb, K)
+    iota_w = jnp.arange(K * W, dtype=jnp.int32)
+
+    def body(_, args):
+        rb, st = args                                   # [tb, R], [tb, K]
+        win = jax.vmap(jax.vmap(
+            lambda s: jax.lax.dynamic_slice(values, (s, 0), (W, NC))))(st)
+        win = win.reshape(tb, K * W, NC)                # [tb, K*W, NC]
+        oh = (rb[:, :, None] == iota_w[None, None, :]).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            oh, win.astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)         # [tb, R, NC]
+        return None, acc.astype(values.dtype)
+
+    _, outs = jax.lax.scan(body, None, (rnbr_b, starts_b))
+    return outs.reshape(ntiles * R, NC)
+
+
+def banded_gather_multi(values, rnbr, starts, W: int, K: int,
+                        mode: str = "pallas"):
+    if mode == "xla":
+        return banded_gather_xla_multi(values, rnbr, starts, W, K)
+    if mode == "interpret":
+        return banded_gather_pallas_multi(values, rnbr, starts, W, K,
+                                          interpret=True)
+    return banded_gather_pallas_multi(values, rnbr, starts, W, K)
 
 
 # --------------------------------------------------------------------------

@@ -119,15 +119,17 @@ def affine_pairwise(cs_pos, cs_mask, cs_ismine, cs_hmask, cs_type,
 # runtime weight fold (XLA, jit-able; once per weights value)
 # --------------------------------------------------------------------------
 
-def fold_affine(dg, weights, info):
-    """(beta [C, ntiles, 1, D*TB] d-major, base [C, ntiles, TB, 1])."""
+def fold_affine(ts, weights, band_tb: int):
+    """(beta [C, ntiles, 1, D*TB] d-major, base [C, ntiles, TB, 1]) for one
+    tier's streams (``ts``: compile.TierStreams; band_tb: TierInfo.band_tb).
+    """
     import jax.numpy as jnp
 
-    wf = weights[dg.cs_wid] * dg.cs_feat               # [C, B, D]
-    beta = wf * dg.ab_b
-    base = jnp.sum(wf * dg.ab_a, axis=-1)              # [C, B]
+    wf = weights[ts.cs_wid] * ts.cs_feat               # [C, B, D]
+    beta = wf * ts.ab_b
+    base = jnp.sum(wf * ts.ab_a, axis=-1)              # [C, B]
     C, B, D = wf.shape
-    TB = info.band_tb
+    TB = band_tb
     nt = B // TB
     beta = beta.reshape(C, nt, TB, D).transpose(0, 1, 3, 2) \
                .reshape(C, nt, 1, D * TB)

@@ -3,25 +3,27 @@
 The memory giant in the compiled layout is the color-major incidence
 streams (cs_*: ~30-60 bytes per (variable, incident-factor) record — 10-50x
 the assignment vector).  On a mesh axis ``graph`` each device holds a
-contiguous 1/n slice of every color block's streams and resamples only its
-slice; the updated slices are reassembled with one all_gather per color
-step (rides ICI), keeping the small ``values`` vector replicated.
+contiguous 1/n slice of every tier segment of every color block and
+resamples only its slices; the updated slices are reassembled with one
+all_gather per (color, tier) step (rides ICI), keeping the small ``values``
+vector replicated.
 
 Composes with the ``chains`` axis (parallel/chains.py) on a 2-D mesh
 ("chains", "graph"): values are sharded over chains and replicated over
 graph; streams are sharded over graph and replicated over chains.
 
-HALO EXCHANGE (banded graphs).  When the banding plan exists (band_w > 0),
-every neighbor position a device's tiles ever read is bounded inside the
-per-tile windows [bd_start, bd_start+band_w) — so after color c updates,
-device g does not need the WHOLE updated block, only the slices of it that
-intersect g's read windows.  ``halo_plan`` computes (at shard time, from the
-same bd_start plan the banded gather uses) how many owner-slices to the
-left/right of g's own slice can ever be read; the all_gather then shrinks
-to nl+nr neighbor-shift ``ppermute``s (nearest-neighbor ICI traffic), and
-each device's values copy is kept fresh ONLY where it will be read (stale
-elsewhere — marginal tallies count own rows only and psum disjointly).
-Exchange volume per color step drops from (n_graph-1) to (nl+nr) slices.
+HALO EXCHANGE (bounded-read graphs).  When every tier's compile-time read
+bounds exist (CompileInfo.bounds — valid for the banded MXU gather AND the
+plain row gather, since bd_lo/bd_hi bound every position a tile ever
+consults), device g does not need the WHOLE updated block after a color
+step — only the slices of it that intersect g's read windows.
+``halo_plan`` computes (from those bounds and the tier geometry) how many
+owner-slices to the left/right of g's own slice can ever be read; the
+all_gather then shrinks to nl+nr neighbor-shift ``ppermute``s per tier
+(nearest-neighbor ICI traffic), and each device's values copy is kept fresh
+ONLY where it will be read (stale elsewhere — marginal tallies count own
+rows only and psum disjointly).  Exchange volume per color step drops from
+(n_graph-1) to (nl+nr) slices.
 
 This is the TPU-native answer to SURVEY.md configs[4] (KBC-scale graphs):
 DimmWitted's answer was "buy a bigger shared-memory box"; here the graph's
@@ -36,7 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..engine.multichain import (color_draw_mc, demote_modes,
+from ..compile import DeviceGraph, TierStreams
+from ..engine.multichain import (color_draw_tier, demote_modes,
                                  effective_chains, init_values_mc,
                                  mc_weight_gradient_cs, resolve_modes)
 
@@ -48,105 +51,142 @@ def make_mesh(n_chains: int, n_graph: int, devices=None) -> Mesh:
     return Mesh(devices.reshape(n_chains, n_graph), ("chains", "graph"))
 
 
-def halo_plan(bd_lo, bd_hi, bounds, B: int, n_graph: int):
-    """How far (in owner slices) any device's reads reach beyond its own
-    slice of a color block: returns (nl, nr), or None when the halo
-    exchange does not apply (no read-bounds plan, misaligned tiles, or no
-    win over the full all_gather).  ``bounds`` is CompileInfo.bounds — the
-    bd_lo/bd_hi validity flag; the plan works whether the gather runs
-    banded or plain (the bounds cover every position a tile reads).
+def check_shardable(info, n_graph: int) -> None:
+    """Every tier block must split evenly over the graph axis, and banded
+    tiers must keep whole band tiles per shard.  Compile with
+    ``compile_graph(g, align=8*n_graph, shards=n_graph)``."""
+    for t, ti in enumerate(info.tiers):
+        if ti.block % n_graph:
+            raise ValueError(
+                f"tier {t} block {ti.block} not divisible by graph axis "
+                f"{n_graph}; compile with align=8*{n_graph}, "
+                f"shards={n_graph}")
+        if ti.band_w and (ti.block // n_graph) % ti.band_tb:
+            raise ValueError(
+                f"tier {t} local block {ti.block // n_graph} breaks band "
+                f"tiles of {ti.band_tb}; compile with shards={n_graph}")
 
-    bd_lo/bd_hi: host [C, ntiles] TRUE per-tile read bounds [lo, hi) over
-    cs_nbr (compile.py) — these bound every value position a tile's sweep
-    can consult, whether the gather runs banded or as a plain row gather
-    (the banded windows merely pad them).  Reader device g owns tiles
-    [g*tpd, (g+1)*tpd) of every color (tile axis co-shards with the B axis
-    in shard_device_graph / infer_gs)."""
-    if not bounds:
+
+def halo_plan(dg, info, n_graph: int):
+    """How far (in owner slices) any device's reads reach beyond its own
+    slices: returns (nl, nr), or None when the halo exchange does not apply
+    (no read-bounds plan, misaligned tiles, or no win over the full
+    all_gather).
+
+    Reads come from each tier's bd_lo/bd_hi (TRUE per-tile read bounds over
+    cs_nbr — compile.py; valid whether the gather runs banded or plain) and
+    target positions in any tier's segment of any color block; the owner of
+    row r of tier t' is (r - off_t') // (block_t' / n_graph).
+    """
+    if not getattr(info, "bounds", False) or n_graph <= 1:
         return None
-    bd_lo = np.asarray(bd_lo)
-    bd_hi = np.asarray(bd_hi)
-    C, ntiles = bd_lo.shape
-    if B % n_graph or ntiles % n_graph:
-        return None
-    Bl = B // n_graph
-    tpd = ntiles // n_graph
+    B = info.block_size
+    C = info.n_colors
+    segs = [(ti.off, ti.block) for ti in info.tiers]
     nl = nr = 0
-    for g in range(n_graph):
-        lo_own, hi_own = g * Bl, (g + 1) * Bl
-        los = bd_lo[:, g * tpd:(g + 1) * tpd].ravel()
-        his = bd_hi[:, g * tpd:(g + 1) * tpd].ravel()
-        for L, H in zip(los.tolist(), his.tolist()):
-            if L >= H:
-                continue                   # empty tile (lo=P, hi=0)
-            for c in range(L // B, min((H - 1) // B + 1, C)):
-                l = max(L - c * B, 0)
-                h = min(H - c * B, B)
-                if l >= h:
+    for ti_r, ts in zip(info.tiers, dg.tiers):
+        lo = np.asarray(jax.device_get(ts.bd_lo)).astype(np.int64)
+        hi = np.asarray(jax.device_get(ts.bd_hi)).astype(np.int64)
+        _, ntiles = lo.shape
+        if ntiles % n_graph or ti_r.block % n_graph:
+            return None
+        tpd = ntiles // n_graph
+        g = (np.arange(ntiles) // tpd)[None, :]       # reader device per tile
+        valid = lo < hi
+        for c in range(C):
+            l = np.clip(lo - c * B, 0, B)
+            h = np.clip(hi - c * B, 0, B)
+            v = valid & (l < h)
+            if not v.any():
+                continue
+            for (o2, b2) in segs:
+                Bl2 = b2 // n_graph
+                l2 = np.maximum(l, o2)
+                h2 = np.minimum(h, o2 + b2)
+                v2 = v & (l2 < h2)
+                if not v2.any():
                     continue
-                nl = max(nl, -((l - lo_own) // Bl))      # ceil((lo_own-l)/Bl)
-                nr = max(nr, -((hi_own - h) // Bl))
+                jmin = (l2 - o2) // Bl2
+                jmax = (h2 - 1 - o2) // Bl2
+                nl = max(nl, int(np.where(v2, g - jmin, 0).max()))
+                nr = max(nr, int(np.where(v2, jmax - g, 0).max()))
     nl, nr = max(nl, 0), max(nr, 0)
     if nl + nr >= n_graph - 1:
         return None
     return nl, nr
 
 
+def _halo_pad(info, n_graph: int) -> int:
+    """Scratch rows appended to values in halo mode: big enough for any
+    tier's slice (mesh-edge devices dump their no-sender receives there)."""
+    return max(ti.block // n_graph for ti in info.tiers)
+
+
 def _sharded_color_step(dg_l, values, weights, key, c, sample_evidence, info,
                         n_graph: int, modes=("off", "off"), halo=None,
                         folded=None):
-    """One color step where this device owns rows [g*Bl, (g+1)*Bl) of the
-    block (dg_l holds the LOCAL stream slice; values are full [P, NC] —
-    plus Bl scratch rows at the end in halo mode, where only the positions
-    this device ever reads are kept fresh).  ``folded`` holds the LOCAL
-    fused-affine fold (prepare_fold on the shard's slice) when the fused
-    kernel is enabled."""
-    Bl = dg_l.cs_mask.shape[1]        # local block rows
-    B = Bl * n_graph
+    """One color step where this device owns rows
+    [off_t + g*Bl_t, off_t + (g+1)*Bl_t) of every tier segment (dg_l holds
+    LOCAL stream slices; values are full [P, NC] — plus scratch rows at the
+    end in halo mode, where only the positions this device ever reads are
+    kept fresh).  ``folded`` holds the LOCAL fused-affine folds."""
+    B = info.block_size
     g = jax.lax.axis_index("graph")
     NC = values.shape[1]
 
     # cs_ismine is streamed, so the logits need no positional info; the key
     # MUST differ per graph shard or the block draw would reuse noise
     key = jax.random.fold_in(key, g)
-    drawn = color_draw_mc(dg_l, values, weights, key, c, info, folded, modes)
+    if folded is None:
+        folded = (None,) * len(dg_l.tiers)
+    multi = len(dg_l.tiers) > 1
+    if halo is not None:
+        P_real = values.shape[0] - _halo_pad(info, n_graph)
 
-    resample = (dg_l.cm_resample_ev[c] if sample_evidence
-                else dg_l.cm_resample[c])
-    start = c * B + g * Bl
-    old = jax.lax.dynamic_slice(values, (start, 0), (Bl, NC))
-    new = jnp.where(resample[:, None], drawn, old)
+    for t, (ts, ti) in enumerate(zip(dg_l.tiers, info.tiers)):
+        kt = jax.random.fold_in(key, t) if multi else key
+        drawn = color_draw_tier(dg_l, ts, ti, values, weights, kt, c, info,
+                                folded[t], modes)
+        resample = (ts.cm_resample_ev[c] if sample_evidence
+                    else ts.cm_resample[c])
+        Bl = ti.block // n_graph
+        start = c * B + ti.off + g * Bl
+        old = jax.lax.dynamic_slice(values, (start, 0), (Bl, NC))
+        new = jnp.where(resample[:, None], drawn, old)
 
-    if halo is None:
-        # reassemble the whole color block across the graph axis (ICI)
-        new_full = jax.lax.all_gather(new, "graph", axis=0, tiled=True)
-        return jax.lax.dynamic_update_slice(values, new_full, (c * B, 0))
+        if halo is None:
+            # reassemble the whole tier segment across the graph axis (ICI)
+            new_full = jax.lax.all_gather(new, "graph", axis=0, tiled=True)
+            values = jax.lax.dynamic_update_slice(
+                values, new_full, (c * B + ti.off, 0))
+            continue
 
-    # halo exchange: own slice written in place; only the nl/nr neighbor
-    # slices any read window can touch are ppermute'd (nearest-neighbor ICI
-    # traffic instead of a full all_gather).  Devices at the mesh edge have
-    # no sender/receiver for some shifts: ppermute then yields zeros, which
-    # land in the Bl scratch rows appended after the dummy tail.
-    nl, nr = halo
-    P_real = values.shape[0] - Bl
-    values = jax.lax.dynamic_update_slice(values, new, (start, 0))
-    for j in range(1, nl + 1):
-        # owner h's slice travels j devices to the RIGHT: g receives g-j's
-        recv = jax.lax.ppermute(new, "graph",
-                                [(h, h + j) for h in range(n_graph - j)])
-        tgt = jnp.where(g >= j, c * B + (g - j) * Bl, P_real)
-        values = jax.lax.dynamic_update_slice(values, recv, (tgt, 0))
-    for j in range(1, nr + 1):
-        recv = jax.lax.ppermute(new, "graph",
-                                [(h, h - j) for h in range(j, n_graph)])
-        tgt = jnp.where(g + j < n_graph, c * B + (g + j) * Bl, P_real)
-        values = jax.lax.dynamic_update_slice(values, recv, (tgt, 0))
+        # halo exchange: own slice written in place; only the nl/nr
+        # neighbor slices any read window can touch are ppermute'd
+        # (nearest-neighbor ICI traffic instead of a full all_gather).
+        # Devices at the mesh edge have no sender/receiver for some shifts:
+        # ppermute then yields zeros, which land in the scratch rows
+        # appended after the dummy tail.
+        nl, nr = halo
+        values = jax.lax.dynamic_update_slice(values, new, (start, 0))
+        for j in range(1, nl + 1):
+            # owner h's slice travels j devices RIGHT: g receives g-j's
+            recv = jax.lax.ppermute(new, "graph",
+                                    [(h, h + j) for h in range(n_graph - j)])
+            tgt = jnp.where(g >= j, c * B + ti.off + (g - j) * Bl, P_real)
+            values = jax.lax.dynamic_update_slice(values, recv, (tgt, 0))
+        for j in range(1, nr + 1):
+            recv = jax.lax.ppermute(new, "graph",
+                                    [(h, h - j) for h in range(j, n_graph)])
+            tgt = jnp.where(g + j < n_graph, c * B + ti.off + (g + j) * Bl,
+                            P_real)
+            values = jax.lax.dynamic_update_slice(values, recv, (tgt, 0))
     return values
 
 
 def sweep_gs(dg_l, values, weights, key, sample_evidence: bool, info,
              n_graph: int, modes=("off", "off"), halo=None, folded=None):
-    C = dg_l.cs_mask.shape[0]
+    C = info.n_colors
 
     def body(c, vals):
         ck = jax.random.fold_in(key, c)
@@ -158,18 +198,18 @@ def sweep_gs(dg_l, values, weights, key, sample_evidence: bool, info,
 
 
 def shard_device_graph(dg, mesh: Mesh):
-    """device_put the DeviceGraph: cs_*/cm_* sharded over 'graph' on their
-    B axis, everything else replicated."""
+    """device_put the DeviceGraph: tier streams sharded over 'graph' on
+    their B axis, everything else replicated."""
     specs = _dg_specs(dg)
-    return type(dg)(*(
-        jax.device_put(getattr(dg, n), NamedSharding(mesh, specs[n]))
-        for n in dg._fields))
+    return jax.tree_util.tree_map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), dg, specs,
+        is_leaf=lambda x: isinstance(x, P))
 
 
 def _strip_factor_records(dg):
     """Replace the per-factor record arrays and pos_of_vid with 1-row
     placeholders before a graph-sharded run: the sweep never reads them
-    (they serve the per-factor gradient / sparse-weight / output paths),
+    (they serve the per-factor gradient / sparse-weight-output paths),
     but shard_map would REPLICATE them onto every device — at KBC scale
     that is tens of GB of wasted device memory (the 10^8-var attempt
     OOM'd the host exactly this way)."""
@@ -184,22 +224,48 @@ def _strip_factor_records(dg):
         pos_of_vid=z(1, np.int32))
 
 
-def _dg_specs(dg) -> dict:
-    """Per-field PartitionSpec: cs_/cm_/ab_ streams shard their B axis and
-    bd_ plans their tile axis over 'graph'; everything else (weights,
-    factor records, metadata, disabled [C, 1] placeholders) replicates."""
-    B = dg.cs_mask.shape[1]
-    specs = {}
+def _dg_specs(dg) -> DeviceGraph:
+    """Per-field PartitionSpec pytree: tier cs_/cm_/ab_ streams shard their
+    B axis and bd_ plans their tile axis over 'graph'; everything else
+    (weights, factor records, metadata, disabled placeholders)
+    replicates."""
+
+    def tier_spec(ts: TierStreams) -> TierStreams:
+        Bt = ts.cs_mask.shape[1]
+        out = {}
+        for name in ts._fields:
+            a = getattr(ts, name)
+            if (name.startswith(("cs_", "cm_", "ab_")) and a.shape[1] == Bt
+                    ) or (name.startswith("bd_") and a.shape[1] > 1):
+                # axis 1 is B (streams) or ntiles (banding plan) — both are
+                # contiguous slices of the tier segment, so they co-shard
+                out[name] = P(None, "graph")
+            else:
+                out[name] = P()
+        return TierStreams(**out)
+
+    top = {}
     for name in dg._fields:
-        if (name.startswith(("cs_", "cm_", "ab_"))
-                and getattr(dg, name).shape[1] == B) or (
-                name.startswith("bd_") and getattr(dg, name).shape[1] > 1):
-            # axis 1 is B (streams) or ntiles (banding plan) — both are
-            # contiguous slices of the color block, so they co-shard
-            specs[name] = P(None, "graph")
+        if name == "tiers":
+            top[name] = tuple(tier_spec(ts) for ts in dg.tiers)
         else:
-            specs[name] = P()
-    return specs
+            top[name] = P()
+    return DeviceGraph(**top)
+
+
+def _own_rowmask(info, n_graph: int, g, n_rows: int):
+    """bool [n_rows, 1]: real positions whose tier slice this device owns
+    (halo-mode tallies must count disjoint contributions)."""
+    B = info.block_size
+    r = jnp.arange(n_rows, dtype=jnp.int32)
+    rb = r % B
+    own = jnp.zeros(n_rows, bool)
+    for ti in info.tiers:
+        Bl = ti.block // n_graph
+        intier = (rb >= ti.off) & (rb < ti.off + ti.block)
+        own = own | (intier & ((rb - ti.off) // Bl == g))
+    own = own & (r < B * info.n_colors)     # dummy/scratch rows never owned
+    return own[:, None]
 
 
 def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
@@ -211,12 +277,10 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
     chains_per_device chains along the chains axis.  Tallies are psum'd
     over both axes.  Returns marginals [V, K] float32.
 
-    halo: "auto" derives the partition-aware exchange plan from the banding
-    windows (falls back to all_gather when not applicable); None forces the
-    full per-color all_gather; an explicit (nl, nr) tuple is used as-is.
-
-    The compiled block size must divide evenly: compile with
-    ``compile_graph(g, align=8 * n_graph)``.
+    halo: "auto" derives the partition-aware exchange plan from the
+    compile-time read bounds (falls back to all_gather when not
+    applicable); None forces the full per-color all_gather; an explicit
+    (nl, nr) tuple is used as-is.
     """
     n_chains_ax = mesh.shape["chains"]
     n_graph = mesh.shape["graph"]
@@ -226,20 +290,14 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
     chains_per_device = effective_chains(info, modes, chains_per_device,
                                          dg.var_card.shape[0])
     modes = demote_modes(modes, chains_per_device)
-    B = dg.cs_mask.shape[1]
-    if B % n_graph:
-        raise ValueError(
-            f"block size {B} not divisible by graph axis {n_graph}; "
-            f"compile with align=8*{n_graph}")
+    check_shardable(info, n_graph)
     if halo == "auto":
-        halo = halo_plan(jax.device_get(dg.bd_lo), jax.device_get(dg.bd_hi),
-                         info.bounds, B, n_graph)
+        halo = halo_plan(dg, info, n_graph)
 
     pos_of_vid = dg.pos_of_vid
     if not info.has_sparse_cw:
         dg = _strip_factor_records(dg)
-    cs_spec = _dg_specs(dg)
-    dg_spec = type(dg)(*(cs_spec[n] for n in dg._fields))
+    dg_spec = _dg_specs(dg)
 
     @partial(
         jax.shard_map, mesh=mesh, check_vma=False,
@@ -253,25 +311,22 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
         k_init, k_run = jax.random.split(key_l)
         vals = init_values_mc(dg_l, k_init, chains_per_device, info)
         folded = prepare_fold(dg_l, w, info, modes)   # local-shard fold
-        Bl = B // n_graph
-        P = vals.shape[0]
+        Pv = vals.shape[0]
         if halo is not None:
-            # Bl scratch rows absorb the mesh-edge devices' no-sender writes
-            vals = jnp.pad(vals, ((0, Bl), (0, 0)))
+            # scratch rows absorb the mesh-edge devices' no-sender writes
+            vals = jnp.pad(vals, ((0, _halo_pad(info, n_graph)), (0, 0)))
         # the sweep's collectives make values 'varying' over graph; give the
         # scan carry that type from the start
         vals = jax.lax.pcast(vals, ("graph",), to="varying")
 
         K = info.max_card
-        counts0 = jnp.tile(vals[:1, :1].astype(jnp.int32) * 0, (P, K))
+        counts0 = jnp.tile(vals[:1, :1].astype(jnp.int32) * 0, (Pv, K))
         ks = jnp.arange(K, dtype=jnp.int32)
         if halo is not None:
             # stale-region safety: tallies count OWN rows only; the psum
             # over the graph axis then assembles disjoint contributions
             g_idx = jax.lax.axis_index("graph")
-            r = jnp.arange(P - 1, dtype=jnp.int32)
-            own = ((r % B) // Bl == g_idx)
-            rowmask = jnp.concatenate([own, jnp.zeros((1,), bool)])[:, None]
+            rowmask = _own_rowmask(info, n_graph, g_idx, Pv)
         else:
             rowmask = True
 
@@ -281,7 +336,7 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
             vals = sweep_gs(dg_l, vals, w, kk, sample_evidence, info,
                             n_graph, modes, halo, folded)
             tally = jnp.where(i >= n_burn, 1, 0)
-            onehot = (vals[:P].astype(jnp.int32)[:, None, :]
+            onehot = (vals[:Pv].astype(jnp.int32)[:, None, :]
                       == ks[None, :, None])
             oh = jnp.sum(onehot, axis=-1, dtype=jnp.int32)
             counts = counts + tally * jnp.where(rowmask, oh, 0)
@@ -328,18 +383,12 @@ def learn_gs(dg, weights, key, cfg, info, mesh: Mesh,
     chains_per_device = effective_chains(info, modes, chains_per_device,
                                          dg.var_card.shape[0], n_worlds=2)
     modes = demote_modes(modes, chains_per_device)
-    B = dg.cs_mask.shape[1]
-    if B % n_graph:
-        raise ValueError(
-            f"block size {B} not divisible by graph axis {n_graph}; "
-            f"compile with align=8*{n_graph}")
+    check_shardable(info, n_graph)
     if halo == "auto":
-        halo = halo_plan(jax.device_get(dg.bd_lo), jax.device_get(dg.bd_hi),
-                         info.bounds, B, n_graph)
+        halo = halo_plan(dg, info, n_graph)
 
     dg = _strip_factor_records(dg)   # learn_gs guards has_sparse_cw above
-    cs_spec = _dg_specs(dg)
-    dg_spec = type(dg)(*(cs_spec[n] for n in dg._fields))
+    dg_spec = _dg_specs(dg)
 
     @partial(
         jax.shard_map, mesh=mesh, check_vma=False,
@@ -348,14 +397,14 @@ def learn_gs(dg, weights, key, cfg, info, mesh: Mesh,
     )
     def run(dg_l, w0, keys):
         g = jax.lax.axis_index("graph")
-        Bl = B // n_graph
         key_l = keys[0]
         k0, k1, kscan = jax.random.split(key_l, 3)
         v_ev = init_values_mc(dg_l, k0, chains_per_device, info)
         v_free = init_values_mc(dg_l, k1, chains_per_device, info)
         if halo is not None:
-            v_ev = jnp.pad(v_ev, ((0, Bl), (0, 0)))
-            v_free = jnp.pad(v_free, ((0, Bl), (0, 0)))
+            pad = _halo_pad(info, n_graph)
+            v_ev = jnp.pad(v_ev, ((0, pad), (0, 0)))
+            v_free = jnp.pad(v_free, ((0, pad), (0, 0)))
         v_ev = jax.lax.pcast(v_ev, ("graph",), to="varying")
         v_free = jax.lax.pcast(v_free, ("graph",), to="varying")
 
@@ -378,7 +427,7 @@ def learn_gs(dg, weights, key, cfg, info, mesh: Mesh,
                 jnp.arange(cfg.n_sweeps_per_epoch))
             grad = mc_weight_gradient_cs(
                 dg_l, v_ev, v_free, cfg.learn_non_evidence, info, modes,
-                global_B=B, row_origin=g * Bl)
+                n_graph=n_graph, g=g)
             grad = jax.lax.psum(grad, "graph")
             grad = jax.lax.pmean(grad, "chains")
             w = apply_update(w, grad, dg_l.w_fixed, alpha,

@@ -24,7 +24,9 @@ import numpy as np
 
 def memory_budget(dg, info) -> dict:
     """Per-field device-stream bytes + per-variable totals + 10^8 projection."""
-    per_field = {n: int(getattr(dg, n).nbytes) for n in dg._fields}
+    from .compile import iter_arrays
+
+    per_field = {n: int(a.nbytes) for n, a in iter_arrays(dg)}
     total = sum(per_field.values())
     per_var = total / max(info.n_vars, 1)
     top = dict(sorted(per_field.items(), key=lambda kv: -kv[1])[:6])
@@ -75,15 +77,14 @@ def main(argv=None):
 
     t0 = time.time()
     dg, info = compile_graph(g, colors=colors, align=8 * n_graph,
-                             band_wmax=args.band_wmax)
+                             band_wmax=args.band_wmax, shards=n_graph)
     t_compile = time.time() - t0
     budget = memory_budget(dg, info)
     del g, colors                    # free the host FactorGraph (~13 GB at
     import gc                        # 10^8 vars) before device placement
     gc.collect()
 
-    B = dg.cs_mask.shape[1]
-    plan = halo_plan(dg.bd_lo, dg.bd_hi, info.bounds, B, n_graph)
+    plan = halo_plan(dg, info, n_graph)
 
     mesh = make_mesh(n_chains_ax, n_graph)
     t0 = time.time()

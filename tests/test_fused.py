@@ -69,7 +69,8 @@ def test_affine_fold_reproduces_delta_exactly():
         v_nbr = values[dgj.cs_nbr[c][..., 0]]          # [B, D, NC]
         delta_aff = base[c][:, None] + jnp.sum(
             beta[c][..., None] * v_nbr.astype(jnp.float32), axis=1)
-        delta_ref = color_delta_bool(dgj, values, w, c, info, PLAIN)
+        delta_ref = color_delta_bool(dgj.tiers[0], info.tiers[0], values, w,
+                                     c, info, PLAIN)
         np.testing.assert_allclose(np.asarray(delta_aff),
                                    np.asarray(delta_ref),
                                    rtol=0, atol=1e-5)
@@ -151,4 +152,4 @@ def test_prepare_fold_gates_on_modes():
     dgj = to_device(dg)
     assert prepare_fold(dgj, dgj.w_init, info, PLAIN) is None
     folded = prepare_fold(dgj, dgj.w_init, info, FUSED)
-    assert folded is not None and folded[0].ndim == 4
+    assert folded is not None and folded[0][0].ndim == 4  # tier 0 beta

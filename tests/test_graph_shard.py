@@ -46,8 +46,7 @@ def test_halo_plan_reduces_traffic():
     dg, info = compile_graph(g, colors=colors, align=8 * n_graph,
                              band_tile=128, band_min_block=1)
     assert info.band_w > 0
-    B = dg.cs_mask.shape[1]
-    plan = halo_plan(dg.bd_lo, dg.bd_hi, info.bounds, B, n_graph)
+    plan = halo_plan(dg, info, n_graph)
     assert plan is not None
     nl, nr = plan
     # exchanged slices per color step: nl+nr vs all_gather's n_graph-1
@@ -66,8 +65,7 @@ def test_halo_parity_with_all_gather():
     dg, info = compile_graph(g, colors=colors, align=8 * n_graph,
                              band_tile=128, band_min_block=1)
     dgj = to_device(dg)
-    B = dg.cs_mask.shape[1]
-    assert halo_plan(dg.bd_lo, dg.bd_hi, info.bounds, B, n_graph) is not None
+    assert halo_plan(dg, info, n_graph) is not None
     mesh = make_mesh(n_chains_ax, n_graph)
     kwargs = dict(n_burn=2, n_sweeps=30, info=info, mesh=mesh,
                   chains_per_device=2)
@@ -146,8 +144,7 @@ def test_graph_sharded_learning_halo_parity():
     g.var_init[::2] = (np.arange((g.n_vars + 1) // 2) % 2).astype(np.int32)
     dg, info = compile_graph(g, colors=colors, align=8 * n_graph,
                              band_tile=128, band_min_block=1)
-    B = dg.cs_mask.shape[1]
-    assert halo_plan(dg.bd_lo, dg.bd_hi, info.bounds, B, n_graph) is not None
+    assert halo_plan(dg, info, n_graph) is not None
     dgj = to_device(dg)
     mesh = make_mesh(2, n_graph)
     cfg = LearnConfig(n_epochs=4, n_sweeps_per_epoch=1, stepsize=0.05,

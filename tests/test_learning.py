@@ -170,7 +170,7 @@ def test_cs_gradient_chunked_parity():
                                       evidence_frac=0.25)
     dg, info = compile_graph(g, align=8)
     dgj = to_device(dg)
-    B = dg.cs_mask.shape[1]
+    B = info.tiers[0].block
     k0, k1 = jax.random.split(jax.random.PRNGKey(11))
     v_ev = init_values_mc(dgj, k0, 4, info)
     v_free = init_values_mc(dgj, k1, 4, info)

@@ -33,8 +33,8 @@ def _compile_both(g, **kw):
 def test_native_streams_match_numpy(make):
     g = make()
     dg_n, dg_p = _compile_both(g)
-    for name in dg_n._fields:
-        a, b = getattr(dg_n, name), getattr(dg_p, name)
+    from sampler_tpu.compile import iter_arrays
+    for (name, a), (_, b) in zip(iter_arrays(dg_n), iter_arrays(dg_p)):
         assert a.dtype == b.dtype and a.shape == b.shape, name
         if a.dtype == np.float32:
             np.testing.assert_allclose(a, b, atol=1e-6, err_msg=name)
@@ -48,8 +48,8 @@ def test_native_streams_match_numpy_banded_affine():
     g, colors = big_ising_grid(32, 32)
     dg_n, dg_p = _compile_both(g, colors=colors, band_tile=8,
                                band_min_block=1)
-    for name in dg_n._fields:
-        a, b = getattr(dg_n, name), getattr(dg_p, name)
+    from sampler_tpu.compile import iter_arrays
+    for (name, a), (_, b) in zip(iter_arrays(dg_n), iter_arrays(dg_p)):
         if a.dtype == np.float32:
             np.testing.assert_allclose(a, b, atol=1e-6, err_msg=name)
         else:

@@ -30,5 +30,6 @@ def test_memory_budget_fields():
     g, colors = big_ising_grid(64, 64)
     dg, info = compile_graph(g, colors=colors)
     b = memory_budget(dg, info)
-    assert b["total_bytes"] == sum(getattr(dg, n).nbytes for n in dg._fields)
+    from sampler_tpu.compile import iter_arrays
+    assert b["total_bytes"] == sum(a.nbytes for _, a in iter_arrays(dg))
     assert b["bytes_per_var"] > 0 and b["projected_1e8_gb"] > 0
