@@ -507,14 +507,17 @@ def sparse_comb_wids(dg, values):
 def _phi_streams(values, ownv, nbr, pos, eq, ismine, msk, typ, ar, hmask,
                  bd_start_c, bd_rnbr_c, ti, present, modes):
     """φ for a row-slice of one tier's incidence streams at the CURRENT
-    values: [rows, D, NC].  Same gather machinery as the draw path (banded
-    MXU gather when enabled), but a single candidate — the variable's own
-    value (ownv [rows, NC])."""
+    values.  Same gather machinery as the draw path (banded MXU gather when
+    enabled), but a single candidate — the variable's own value
+    (ownv [rows, NC]).  Returns (phi [rows, D, NC], raw gathered neighbor
+    values [rows, D, A-1, NC] or None on unary tiers — the sparse-weight
+    gradient reuses them for its combination-index lookup)."""
     A = msk.shape[-1]
     A1 = A - 1
     NC = values.shape[-1]
     dt = values.dtype
     band = tier_modes(ti, modes)[0]
+    vals = None
     if A1 == 0:
         nbr_lit = jnp.zeros(nbr.shape + (NC,), bool)
     elif band != "off":
@@ -546,10 +549,11 @@ def _phi_streams(values, ownv, nbr, pos, eq, ismine, msk, typ, ar, hmask,
     lit_head = jnp.where(ismine[..., :A1, None], own_lit[..., :A1, :],
                          nbr_lit)
     lit = jnp.concatenate([lit_head, own_lit[..., A1:, :]], axis=-2)
-    return _eval_phi_ax2(
+    phi = _eval_phi_ax2(
         lit, msk[..., None], typ[:, :, None], ar[:, :, None],
         present, hmask=hmask[..., None],
     )                                                      # [rows, D, NC]
+    return phi, vals
 
 
 def _grad_row_chunk(ti, B: int, D: int, A: int, NC: int) -> int:
@@ -572,9 +576,11 @@ def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
     """Weight gradient on the cs streams: each factor counted once via its
     compile-time owner record (cs_gowner / cs_gtouch), neighbor values
     fetched with the same (banded) gather the sweep uses, evaluated per
-    tier in bounded row chunks.  Equivalent to the per-factor path for
-    graphs without sparse per-combination weights (tests/test_learning.py
-    asserts equality).
+    tier in bounded row chunks.  Equivalent to the per-factor path
+    (tests/test_learning.py and tests/test_sparse_shard.py assert
+    equality).  Sparse per-combination factors route their ±feat through
+    the combination table (data-dependent weight ids, chain-averaged)
+    instead of the dense segment-sum, mirroring the draw path's lookup.
 
     Under graph sharding ``dg`` holds LOCAL stream slices while the values
     vector stays global: pass the graph-axis size ``n_graph`` and this
@@ -626,32 +632,67 @@ def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
             own0 = c * gB + ti.off + g * (ti.block // n_graph) + r0
             own_e = ds(v_ev, (own0, 0), (rc, NC))
             own_f = ds(v_free, (own0, 0), (rc, NC))
-            phi_e = _phi_streams(v_ev, own_e, nbr, pos, eq, ismine, msk,
-                                 typ, ar, hmask, bd_c, rn_c, ti, present,
-                                 modes)
-            phi_f = _phi_streams(v_free, own_f, nbr, pos, eq, ismine, msk,
-                                 typ, ar, hmask, bd_c, rn_c, ti, present,
-                                 modes)
+            phi_e, nbrv_e = _phi_streams(v_ev, own_e, nbr, pos, eq, ismine,
+                                         msk, typ, ar, hmask, bd_c, rn_c,
+                                         ti, present, modes)
+            phi_f, nbrv_f = _phi_streams(v_free, own_f, nbr, pos, eq,
+                                         ismine, msk, typ, ar, hmask, bd_c,
+                                         rn_c, ti, present, modes)
             gsrc = ts.cs_gowner if learn_non_evidence else ts.cs_gtouch
             gm = ds(gsrc, (c, r0, 0), (1, rc, D))[0]
             feat = ds(ts.cs_feat, (c, r0, 0), (1, rc, D))[0]
             wid = ds(ts.cs_wid, (c, r0, 0), (1, rc, D))[0]
             diff = jnp.mean(phi_e - phi_f, axis=-1) * feat
             diff = jnp.where(gm, diff, 0.0)
-            return grad + jax.ops.segment_sum(diff.ravel(), wid.ravel(),
+            if info.has_sparse_cw:
+                issp = ds(ts.cs_issparse, (c, r0, 0), (1, rc, D))[0]
+                diff = jnp.where(issp, 0.0, diff)
+            grad = grad + jax.ops.segment_sum(diff.ravel(), wid.ravel(),
                                               num_segments=W)
+            if info.has_sparse_cw:
+                # sparse factors: φ ≡ 1 on the current combination, so the
+                # owner record contributes +feat at wid(ev world) and −feat
+                # at wid(free world) — a table lookup identical to the draw
+                # path's (candidate → own value)
+                base = ds(ts.cs_cwbase, (c, r0, 0), (1, rc, D))[0]
+                stride = ds(ts.cs_cwstride, (c, r0, 0, 0), (1, rc, D, A))[0]
+                s_own = jnp.sum(jnp.where(ismine, stride, 0),
+                                axis=-1).astype(jnp.int32)       # [rc, D]
+                T = dg.cwt_wid.shape[0]
+
+                def comb_wid(ownv, nbrv):
+                    if nbrv is None:
+                        nbr_sum = jnp.zeros((rc, D, NC), jnp.int32)
+                    else:
+                        nbr_sum = jnp.sum(
+                            stride[..., :A1, None].astype(jnp.int32)
+                            * nbrv.astype(jnp.int32), axis=-2)   # [rc,D,NC]
+                    m = (base[..., None] + nbr_sum
+                         + s_own[..., None] * ownv[:, None, :]
+                         .astype(jnp.int32))
+                    return dg.cwt_wid[jnp.clip(m, 0, T - 1)]
+
+                sel = jnp.where(gm & issp, feat, 0.0)[..., None] / NC
+                sel = jnp.broadcast_to(sel, (rc, D, NC)).ravel()
+                grad = grad + jax.ops.segment_sum(
+                    sel, comb_wid(own_e, nbrv_e).ravel(), num_segments=W)
+                grad = grad - jax.ops.segment_sum(
+                    sel, comb_wid(own_f, nbrv_f).ravel(), num_segments=W)
+            return grad
 
         n = C * nch
         grad = jax.lax.fori_loop(0, n, body, grad, unroll=(n <= 4))
+    if info.has_sparse_cw:
+        grad = grad.at[W - 1].set(0.0)   # keep the reserved slot inert
     return grad
 
 
 def mc_weight_gradient(dg, v_ev, v_free, learn_non_evidence: bool, info,
                        modes=None):
     """Weight gradient dispatcher: the cs-stream path (banded-gather
-    friendly) unless the graph carries sparse per-combination weights,
-    which stay on the per-factor route below."""
-    if modes is not None and not info.has_sparse_cw:
+    friendly, graph-shardable) whenever kernel modes are resolved; the
+    per-factor route stays as the modes-free reference implementation."""
+    if modes is not None:
         return mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence,
                                      info, modes)
     return _mc_weight_gradient_factors(dg, v_ev, v_free, learn_non_evidence,

@@ -212,7 +212,10 @@ def _strip_factor_records(dg):
     (they serve the per-factor gradient / sparse-weight-output paths),
     but shard_map would REPLICATE them onto every device — at KBC scale
     that is tens of GB of wasted device memory (the 10^8-var attempt
-    OOM'd the host exactly this way)."""
+    OOM'd the host exactly this way).  Sparse-cw graphs keep cwt_wid (the
+    combination→wid table, read by the sweep and the cs gradient) but drop
+    the per-factor f_cwbase/f_cwstride, which only the per-factor gradient
+    path reads."""
     A = dg.f_vids.shape[1]
     z = np.zeros
     return dg._replace(
@@ -221,6 +224,7 @@ def _strip_factor_records(dg):
         f_mask=z((1, A), bool),
         f_type=z(1, np.int8), f_wid=z(1, np.int32),
         f_feat=z(1, np.float32), f_arity=np.ones(1, np.int16),
+        f_cwbase=np.full(1, -1, np.int32), f_cwstride=z((1, 1), np.int32),
         pos_of_vid=z(1, np.int32))
 
 
@@ -295,8 +299,7 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
         halo = halo_plan(dg, info, n_graph)
 
     pos_of_vid = dg.pos_of_vid
-    if not info.has_sparse_cw:
-        dg = _strip_factor_records(dg)
+    dg = _strip_factor_records(dg)
     dg_spec = _dg_specs(dg)
 
     @partial(
@@ -372,10 +375,6 @@ def learn_gs(dg, weights, key, cfg, info, mesh: Mesh,
     from ..engine.learn import apply_update
     from ..engine.multichain import prepare_fold
 
-    if info.has_sparse_cw:
-        raise NotImplementedError(
-            "graph-sharded learning does not support sparse "
-            "per-combination weights yet; use parallel.chains.learn_sharded")
     n_chains_ax = mesh.shape["chains"]
     n_graph = mesh.shape["graph"]
     if modes is None:
@@ -387,7 +386,7 @@ def learn_gs(dg, weights, key, cfg, info, mesh: Mesh,
     if halo == "auto":
         halo = halo_plan(dg, info, n_graph)
 
-    dg = _strip_factor_records(dg)   # learn_gs guards has_sparse_cw above
+    dg = _strip_factor_records(dg)
     dg_spec = _dg_specs(dg)
 
     @partial(
