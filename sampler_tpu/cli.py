@@ -155,16 +155,6 @@ def cmd_gibbs(args) -> int:
             f"so the Pallas kernels stay engaged)")
         n_chains = n_eff
 
-    if n_graph > 1:
-        if args.checkpoint_every or args.resume:
-            raise SystemExit(
-                "--n_graph_shards does not support --checkpoint_every/"
-                "--resume yet")
-        weights, marg = _run_gibbs_sharded(args, log, dgj, info, weights,
-                                           k_learn, k_inf, n_chains, n_graph)
-        _write_outputs(args, log, graph, info, weights, marg)
-        return 0
-
     every = args.checkpoint_every
     ckpt_path = args.checkpoint
     if every and not ckpt_path:
@@ -182,6 +172,13 @@ def cmd_gibbs(args) -> int:
                 f"(meta {state.meta} vs {sig})")
         log(f"resuming from {ckpt_path}: phase={state.meta.get('phase')} "
             f"epoch={state.epoch} sweep={state.sweep}")
+
+    if n_graph > 1:
+        weights, marg = _run_gibbs_sharded(args, log, dgj, info, weights,
+                                           k_learn, k_inf, n_chains, n_graph,
+                                           every, ckpt_path, state)
+        _write_outputs(args, log, graph, info, weights, marg)
+        return 0
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
@@ -212,12 +209,18 @@ def _write_outputs(args, log, graph, info, weights, marg):
 
 
 def _run_gibbs_sharded(args, log, dgj, info, weights, k_learn, k_inf,
-                       n_chains, n_graph):
+                       n_chains, n_graph, every=0, ckpt_path=None,
+                       state=None):
     """Learn + infer on a ("chains", "graph") mesh: graph streams sharded
     over ``n_graph`` devices (model parallelism for >HBM graphs), remaining
-    devices data-parallel over chains."""
+    devices data-parallel over chains.  With ``every`` set, both phases
+    snapshot at chunk boundaries (absolute-index RNG folding inside
+    learn_gs/infer_gs makes a killed+resumed run byte-identical to an
+    uninterrupted checkpointed one)."""
     import jax
+    import jax.numpy as jnp
 
+    from . import checkpoint
     from .engine.learn import LearnConfig
     from .parallel.graph_shard import infer_gs, learn_gs, make_mesh
 
@@ -228,26 +231,59 @@ def _run_gibbs_sharded(args, log, dgj, info, weights, k_learn, k_inf,
     mesh = make_mesh(n_dev // n_graph, n_graph)
     log(f"mesh: chains={n_dev // n_graph} x graph={n_graph}, "
         f"{n_chains} chains/device")
+    meta = dict(n_vars=info.n_vars, n_factors=info.n_factors,
+                seed=args.seed, n_chains=n_chains, n_graph=n_graph)
 
-    if args.n_learning_epoch > 0:
+    def save(phase, values, counts=None, sweep=0, epoch=0, w=None):
+        checkpoint.save(checkpoint.SamplerState(
+            values=np.asarray(values), weights=np.asarray(w),
+            rng_key=np.asarray(k_inf), counts=counts, sweep=sweep,
+            epoch=epoch, meta={**meta, "phase": phase}), ckpt_path)
+        _fault_hook()
+
+    n_epochs = args.n_learning_epoch
+    learn_resume = None
+    if state is not None and state.meta.get("phase") == "gs_learn":
+        learn_resume = (state.epoch, state.weights,
+                        state.values[0], state.values[1])
+        state = None if state.epoch < n_epochs else state
+    if n_epochs > 0 and (state is None or
+                         state.meta.get("phase") == "gs_learn"):
         cfg = LearnConfig(
-            n_epochs=args.n_learning_epoch,
+            n_epochs=n_epochs,
             n_sweeps_per_epoch=args.n_samples_per_learning_epoch,
             stepsize=args.alpha, diminish=args.diminish,
             regularization=args.regularization or "none",
             reg_param=args.reg_param,
             learn_non_evidence=args.learn_non_evidence)
+        on_ckpt = None
+        if every and ckpt_path:
+            on_ckpt = lambda done, w, v_ev, v_free: save(
+                "gs_learn", np.stack([v_ev, v_free]), epoch=done, w=w)
         t0 = time.time()
         weights = learn_gs(dgj, weights, k_learn, cfg, info, mesh,
-                           chains_per_device=n_chains)
-        log(f"learning: {args.n_learning_epoch} epochs "
-            f"[{time.time()-t0:.2f}s]")
+                           chains_per_device=n_chains,
+                           checkpoint_every=every, on_checkpoint=on_ckpt,
+                           resume_state=learn_resume)
+        log(f"learning: {n_epochs} epochs [{time.time()-t0:.2f}s]")
+    elif state is not None and state.meta.get("phase") == "gs_infer":
+        weights = jnp.asarray(state.weights)
 
+    infer_resume = None
+    if state is not None and state.meta.get("phase") == "gs_infer":
+        infer_resume = (state.sweep, state.values,
+                        state.counts.astype(np.int64))
+    on_ckpt = None
+    if every and ckpt_path:
+        on_ckpt = lambda done, values, counts: save(
+            "gs_infer", values, counts=counts, sweep=done, w=weights)
     t0 = time.time()
     marg = infer_gs(dgj, weights, k_inf, n_burn=args.burn_in,
                     n_sweeps=args.n_inference_epoch, info=info, mesh=mesh,
                     chains_per_device=n_chains,
-                    sample_evidence=args.sample_evidence)
+                    sample_evidence=args.sample_evidence,
+                    checkpoint_every=every, on_checkpoint=on_ckpt,
+                    resume_state=infer_resume)
     log(f"inference: {args.n_inference_epoch} sweeps "
         f"(+{args.burn_in} burn-in) [{time.time()-t0:.2f}s]")
     return weights, marg

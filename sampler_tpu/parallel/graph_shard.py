@@ -274,7 +274,9 @@ def _own_rowmask(info, n_graph: int, g, n_rows: int):
 
 def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
              mesh: Mesh, chains_per_device: int,
-             sample_evidence: bool = False, modes=None, halo="auto"):
+             sample_evidence: bool = False, modes=None, halo="auto",
+             checkpoint_every: int = 0, on_checkpoint=None,
+             resume_state=None):
     """Inference on a ("chains", "graph") mesh.
 
     Streams sharded over graph; values replicated per device with
@@ -285,6 +287,16 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
     compile-time read bounds (falls back to all_gather when not
     applicable); None forces the full per-color all_gather; an explicit
     (nl, nr) tuple is used as-is.
+
+    CHECKPOINTING (SURVEY.md §5.3/5.4; VERDICT r2 #5): with
+    ``checkpoint_every=N`` the n_burn+n_sweeps steps run as N-step chunks;
+    after each chunk ``on_checkpoint(steps_done, values, counts)`` receives
+    the canonical values [P, chains_per_device * n_chains_ax] (owned rows
+    reassembled across the graph axis in halo mode) and the accumulated
+    int64 tally [P, K].  ``resume_state=(steps_done, values, counts)``
+    continues from a snapshot.  Sweep keys fold the ABSOLUTE step index
+    from one per-chains-row stream, so a chunked/resumed run is
+    BITWISE-identical to an uninterrupted one.
     """
     n_chains_ax = mesh.shape["chains"]
     n_graph = mesh.shape["graph"]
@@ -301,77 +313,134 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
     pos_of_vid = dg.pos_of_vid
     dg = _strip_factor_records(dg)
     dg_spec = _dg_specs(dg)
+    keys = jax.random.split(key, n_chains_ax)
+    n_total = n_burn + n_sweeps
 
     @partial(
         jax.shard_map, mesh=mesh, check_vma=False,
-        in_specs=(dg_spec, P(), P("chains")),
-        out_specs=P(),
+        in_specs=(dg_spec, P("chains")),
+        out_specs=P(None, "chains"),
     )
-    def run(dg_l, w, keys):
-        from ..engine.multichain import prepare_fold
+    def init_vals(dg_l, ks_):
+        k_init, _ = jax.random.split(ks_[0])
+        return init_values_mc(dg_l, k_init, chains_per_device, info)
 
-        key_l = keys[0]
-        k_init, k_run = jax.random.split(key_l)
-        vals = init_values_mc(dg_l, k_init, chains_per_device, info)
-        folded = prepare_fold(dg_l, w, info, modes)   # local-shard fold
-        Pv = vals.shape[0]
-        if halo is not None:
-            # scratch rows absorb the mesh-edge devices' no-sender writes
-            vals = jnp.pad(vals, ((0, _halo_pad(info, n_graph)), (0, 0)))
-        # the sweep's collectives make values 'varying' over graph; give the
-        # scan carry that type from the start
-        vals = jax.lax.pcast(vals, ("graph",), to="varying")
+    def make_run(n: int):
+        @partial(
+            jax.shard_map, mesh=mesh, check_vma=False,
+            in_specs=(dg_spec, P(), P("chains"), P(None, "chains"), P()),
+            out_specs=(P(None, "chains"), P()),
+        )
+        def run(dg_l, w, ks_, vals, i0):
+            from ..engine.multichain import prepare_fold
 
-        K = info.max_card
-        counts0 = jnp.tile(vals[:1, :1].astype(jnp.int32) * 0, (Pv, K))
-        ks = jnp.arange(K, dtype=jnp.int32)
-        if halo is not None:
-            # stale-region safety: tallies count OWN rows only; the psum
-            # over the graph axis then assembles disjoint contributions
-            g_idx = jax.lax.axis_index("graph")
-            rowmask = _own_rowmask(info, n_graph, g_idx, Pv)
+            _, k_run = jax.random.split(ks_[0])
+            folded = prepare_fold(dg_l, w, info, modes)  # local-shard fold
+            Pv = vals.shape[0]
+            dt = vals.dtype
+            if halo is not None:
+                # scratch rows absorb mesh-edge devices' no-sender writes
+                vals = jnp.pad(vals, ((0, _halo_pad(info, n_graph)),
+                                      (0, 0)))
+            # the sweep's collectives make values 'varying' over graph;
+            # give the scan carry that type from the start
+            vals = jax.lax.pcast(vals, ("graph",), to="varying")
+
+            K = info.max_card
+            counts0 = jnp.tile(vals[:1, :1].astype(jnp.int32) * 0, (Pv, K))
+            ks = jnp.arange(K, dtype=jnp.int32)
+            if halo is not None:
+                # stale-region safety: tallies count OWN rows only; the
+                # psum over graph then assembles disjoint contributions
+                g_idx = jax.lax.axis_index("graph")
+                rowmask = _own_rowmask(info, n_graph, g_idx, Pv)
+            else:
+                rowmask = True
+
+            def body(carry, i):
+                vals, counts = carry
+                kk = jax.random.fold_in(k_run, i)
+                vals = sweep_gs(dg_l, vals, w, kk, sample_evidence, info,
+                                n_graph, modes, halo, folded)
+                tally = jnp.where(i >= n_burn, 1, 0)
+                onehot = (vals[:Pv].astype(jnp.int32)[:, None, :]
+                          == ks[None, :, None])
+                oh = jnp.sum(onehot, axis=-1, dtype=jnp.int32)
+                counts = counts + tally * jnp.where(rowmask, oh, 0)
+                return (vals, counts), None
+
+            (vals, counts), _ = jax.lax.scan(
+                body, (vals, counts0), i0 + jnp.arange(n))
+            # reduce over BOTH axes: chains pools tallies; over graph the
+            # halo contributions are disjoint (own rows), while all_gather
+            # copies are identical and compensated in the denominator
+            counts = jax.lax.psum(counts, ("chains", "graph"))
+            vals = vals[:Pv]
+            if halo is not None:
+                # canonicalize: owned rows reassemble the fresh world
+                # (stale neighbor copies zeroed, disjoint psum)
+                vals = jax.lax.psum(
+                    jnp.where(rowmask, vals.astype(jnp.int32), 0),
+                    "graph").astype(dt)
+            return vals, counts
+
+        return run
+
+    if resume_state is not None:
+        done, values, counts_acc = resume_state
+        values = jnp.asarray(values)
+        counts_acc = np.asarray(counts_acc, np.int64)
+    else:
+        done = 0
+        values = init_vals(dg, keys)
+        counts_acc = np.zeros((dg.var_card.shape[0], info.max_card),
+                              np.int64)
+    every = checkpoint_every or n_total
+    runners = {}
+    host_tally = bool(checkpoint_every) or resume_state is not None
+    counts = None
+    while done < n_total:
+        n = min(every, n_total - done)
+        if n not in runners:
+            runners[n] = make_run(n)
+        values, cts = runners[n](dg, weights, keys, values, jnp.int32(done))
+        done += n
+        if host_tally:
+            counts_acc = counts_acc + np.asarray(cts, np.int64)
+            if on_checkpoint is not None:
+                on_checkpoint(done, np.asarray(values), counts_acc)
         else:
-            rowmask = True
-
-        def body(carry, i):
-            vals, counts = carry
-            kk = jax.random.fold_in(k_run, i)
-            vals = sweep_gs(dg_l, vals, w, kk, sample_evidence, info,
-                            n_graph, modes, halo, folded)
-            tally = jnp.where(i >= n_burn, 1, 0)
-            onehot = (vals[:Pv].astype(jnp.int32)[:, None, :]
-                      == ks[None, :, None])
-            oh = jnp.sum(onehot, axis=-1, dtype=jnp.int32)
-            counts = counts + tally * jnp.where(rowmask, oh, 0)
-            return (vals, counts), None
-
-        (vals, counts), _ = jax.lax.scan(
-            body, (vals, counts0), jnp.arange(n_burn + n_sweeps))
-        # reduce over BOTH axes: chains pools tallies; over graph the halo
-        # contributions are disjoint (own rows), while all_gather copies are
-        # identical and compensated in the denominator
-        counts = jax.lax.psum(counts, ("chains", "graph"))
-        return counts
-
-    keys = jax.random.split(key, n_chains_ax)
-    counts = run(dg, weights, keys)
+            counts = cts       # single chunk: stays a (global) device array
+    if host_tally:
+        counts = counts_acc
     total = n_sweeps * chains_per_device * n_chains_ax * (
         1 if halo is not None else n_graph)
-    marg = counts[pos_of_vid].astype(jnp.float32) / jnp.float32(total)
+    marg = jnp.asarray(counts)[pos_of_vid].astype(jnp.float32) \
+        / jnp.float32(total)
     return marg
 
 
 def learn_gs(dg, weights, key, cfg, info, mesh: Mesh,
-             chains_per_device: int, modes=None, halo="auto"):
+             chains_per_device: int, modes=None, halo="auto",
+             checkpoint_every: int = 0, on_checkpoint=None,
+             resume_state=None):
     """Contrastive-SGD learning on the ("chains", "graph") mesh — weight
     learning for graphs whose streams exceed one chip's HBM.
 
     Both worlds sweep with sweep_gs (halo exchange included); the gradient
     is evaluated on each shard's LOCAL streams via the owner-deduped cs
-    path (owner records are disjoint across graph shards), then psum'd over
+    path (owner records are disjoint across graph shards; sparse-cw
+    factors route through the combination table), then psum'd over
     'graph' and pmean'd over 'chains' — same update rule and fixed points
     as engine.multichain.learn_mc (SURVEY.md §2c).  Returns final weights
-    (replicated) as a host array."""
+    (replicated).
+
+    CHECKPOINTING: with ``checkpoint_every=N`` epochs run in N-epoch
+    chunks; after each chunk ``on_checkpoint(epochs_done, w, v_ev,
+    v_free)`` receives host snapshots (worlds canonicalized across the
+    graph axis).  ``resume_state=(epochs_done, w, v_ev, v_free)``
+    continues a snapshot.  Epoch keys fold the ABSOLUTE epoch index, so a
+    chunked/resumed run is bitwise-identical to an uninterrupted one."""
     from ..engine.learn import apply_update
     from ..engine.multichain import prepare_fold
 
@@ -388,58 +457,103 @@ def learn_gs(dg, weights, key, cfg, info, mesh: Mesh,
 
     dg = _strip_factor_records(dg)
     dg_spec = _dg_specs(dg)
+    keys = jax.random.split(key, n_chains_ax)
 
     @partial(
         jax.shard_map, mesh=mesh, check_vma=False,
-        in_specs=(dg_spec, P(), P("chains")),
-        out_specs=P(),
+        in_specs=(dg_spec, P("chains")),
+        out_specs=(P(None, "chains"), P(None, "chains")),
     )
-    def run(dg_l, w0, keys):
-        g = jax.lax.axis_index("graph")
-        key_l = keys[0]
-        k0, k1, kscan = jax.random.split(key_l, 3)
-        v_ev = init_values_mc(dg_l, k0, chains_per_device, info)
-        v_free = init_values_mc(dg_l, k1, chains_per_device, info)
-        if halo is not None:
-            pad = _halo_pad(info, n_graph)
-            v_ev = jnp.pad(v_ev, ((0, pad), (0, 0)))
-            v_free = jnp.pad(v_free, ((0, pad), (0, 0)))
-        v_ev = jax.lax.pcast(v_ev, ("graph",), to="varying")
-        v_free = jax.lax.pcast(v_free, ("graph",), to="varying")
+    def init_worlds(dg_l, ks_):
+        k0, k1, _ = jax.random.split(ks_[0], 3)
+        return (init_values_mc(dg_l, k0, chains_per_device, info),
+                init_values_mc(dg_l, k1, chains_per_device, info))
 
-        def epoch(carry, i):
-            w, v_ev, v_free, alpha = carry
-            ki = jax.random.fold_in(kscan, i)
-            folded = prepare_fold(dg_l, w, info, modes)
+    def make_run(n: int):
+        @partial(
+            jax.shard_map, mesh=mesh, check_vma=False,
+            in_specs=(dg_spec, P(), P("chains"), P(None, "chains"),
+                      P(None, "chains"), P()),
+            out_specs=(P(), P(None, "chains"), P(None, "chains")),
+        )
+        def run(dg_l, w0, ks_, v_ev, v_free, e0):
+            g = jax.lax.axis_index("graph")
+            _, _, kscan = jax.random.split(ks_[0], 3)
+            dt = v_ev.dtype
+            Pv = v_ev.shape[0]
+            if halo is not None:
+                pad = _halo_pad(info, n_graph)
+                v_ev = jnp.pad(v_ev, ((0, pad), (0, 0)))
+                v_free = jnp.pad(v_free, ((0, pad), (0, 0)))
+            v_ev = jax.lax.pcast(v_ev, ("graph",), to="varying")
+            v_free = jax.lax.pcast(v_free, ("graph",), to="varying")
 
-            def one_sweep(cwv, j):
-                v_ev, v_free = cwv
-                kj = jax.random.fold_in(ki, j)
-                v_ev = sweep_gs(dg_l, v_ev, w, jax.random.fold_in(kj, 0),
-                                False, info, n_graph, modes, halo, folded)
-                v_free = sweep_gs(dg_l, v_free, w, jax.random.fold_in(kj, 1),
-                                  True, info, n_graph, modes, halo, folded)
-                return (v_ev, v_free), None
+            def epoch(carry, i):
+                w, v_ev, v_free, alpha = carry
+                ki = jax.random.fold_in(kscan, i)
+                folded = prepare_fold(dg_l, w, info, modes)
 
-            (v_ev, v_free), _ = jax.lax.scan(
-                one_sweep, (v_ev, v_free),
-                jnp.arange(cfg.n_sweeps_per_epoch))
-            grad = mc_weight_gradient_cs(
-                dg_l, v_ev, v_free, cfg.learn_non_evidence, info, modes,
-                n_graph=n_graph, g=g)
-            grad = jax.lax.psum(grad, "graph")
-            grad = jax.lax.pmean(grad, "chains")
-            w = apply_update(w, grad, dg_l.w_fixed, alpha,
-                             cfg.regularization, cfg.reg_param)
-            return (w, v_ev, v_free, alpha * cfg.diminish), None
+                def one_sweep(cwv, j):
+                    v_ev, v_free = cwv
+                    kj = jax.random.fold_in(ki, j)
+                    v_ev = sweep_gs(dg_l, v_ev, w,
+                                    jax.random.fold_in(kj, 0),
+                                    False, info, n_graph, modes, halo,
+                                    folded)
+                    v_free = sweep_gs(dg_l, v_free, w,
+                                      jax.random.fold_in(kj, 1),
+                                      True, info, n_graph, modes, halo,
+                                      folded)
+                    return (v_ev, v_free), None
 
-        init = (jnp.asarray(w0, jnp.float32), v_ev, v_free,
-                jnp.float32(cfg.stepsize))
-        (w, _, _, _), _ = jax.lax.scan(epoch, init,
-                                       jnp.arange(cfg.n_epochs))
-        # the weight trajectory is graph-invariant (psum'd grads) but the
-        # type system saw varying inputs; reduce to prove replication
-        return jax.lax.pmean(w, ("chains", "graph"))
+                (v_ev, v_free), _ = jax.lax.scan(
+                    one_sweep, (v_ev, v_free),
+                    jnp.arange(cfg.n_sweeps_per_epoch))
+                grad = mc_weight_gradient_cs(
+                    dg_l, v_ev, v_free, cfg.learn_non_evidence, info, modes,
+                    n_graph=n_graph, g=g)
+                grad = jax.lax.psum(grad, "graph")
+                grad = jax.lax.pmean(grad, "chains")
+                w = apply_update(w, grad, dg_l.w_fixed, alpha,
+                                 cfg.regularization, cfg.reg_param)
+                return (w, v_ev, v_free, alpha * cfg.diminish), None
 
-    keys = jax.random.split(key, n_chains_ax)
-    return run(dg, weights, keys)
+            alpha0 = jnp.float32(cfg.stepsize) \
+                * jnp.float32(cfg.diminish) ** e0.astype(jnp.float32)
+            init = (jnp.asarray(w0, jnp.float32), v_ev, v_free, alpha0)
+            (w, v_ev, v_free, _), _ = jax.lax.scan(epoch, init,
+                                                   e0 + jnp.arange(n))
+            # the weight trajectory is graph-invariant (psum'd grads) but
+            # the type system saw varying inputs; reduce to prove it
+            w = jax.lax.pmean(w, ("chains", "graph"))
+            if halo is not None:
+                g_idx = jax.lax.axis_index("graph")
+                rowmask = _own_rowmask(info, n_graph, g_idx, Pv)
+                canon = lambda v: jax.lax.psum(
+                    jnp.where(rowmask, v[:Pv].astype(jnp.int32), 0),
+                    "graph").astype(dt)
+                v_ev, v_free = canon(v_ev), canon(v_free)
+            return w, v_ev[:Pv], v_free[:Pv]
+
+        return run
+
+    if resume_state is not None:
+        done, w, v_ev, v_free = resume_state
+        w = jnp.asarray(w, jnp.float32)
+        v_ev, v_free = jnp.asarray(v_ev), jnp.asarray(v_free)
+    else:
+        done, w = 0, weights
+        v_ev, v_free = init_worlds(dg, keys)
+    every = checkpoint_every or cfg.n_epochs
+    runners = {}
+    while done < cfg.n_epochs:
+        n = min(every, cfg.n_epochs - done)
+        if n not in runners:
+            runners[n] = make_run(n)
+        w, v_ev, v_free = runners[n](dg, w, keys, v_ev, v_free,
+                                     jnp.int32(done))
+        done += n
+        if checkpoint_every and on_checkpoint is not None:
+            on_checkpoint(done, np.asarray(w), np.asarray(v_ev),
+                          np.asarray(v_free))
+    return w

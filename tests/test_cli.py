@@ -119,6 +119,43 @@ def test_checkpoint_kill_and_resume_cli(tmp_path):
         assert a == b, f"{fname} differs after kill+resume"
 
 
+def test_checkpoint_kill_and_resume_graph_sharded(tmp_path):
+    """Kill+resume for GRAPH-SHARDED runs (VERDICT.md r2 #5): the sharded
+    learn/burn/infer pipeline checkpoints at chunk boundaries and a killed
+    run resumed must write EXACTLY the uninterrupted run's outputs."""
+    g = fixtures.labeled_coin_graph(n_flips=64, p_heads=0.75, seed=9)
+    binary.write_graph(g, str(tmp_path))
+    env = {"XLA_FLAGS": "--xla_force_host_platform_device_count=4"}
+    base = [
+        "gibbs", "--platform", "cpu",
+        "-w", str(tmp_path / "graph.weights"),
+        "-v", str(tmp_path / "graph.variables"),
+        "-f", str(tmp_path / "graph.factors"),
+        "-m", str(tmp_path / "graph.meta"),
+        "-l", "4", "-a", "0.05", "-b", "60", "-i", "120",
+        "--n_chains", "2", "--n_graph_shards", "2",
+        "--checkpoint_every", "40", "--quiet",
+    ]
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+
+    r = _dw_subprocess(base + ["-o", out_a], env_extra=env)
+    assert r.returncode == 0, r.stderr
+
+    # kill after 3 saves (1 learn chunk save + 2 infer chunk saves), resume
+    r = _dw_subprocess(base + ["-o", out_b],
+                       env_extra={**env, "SAMPLER_TPU_FAULT_AFTER": "3"})
+    assert r.returncode == 3, (r.returncode, r.stderr)
+    assert os.path.exists(os.path.join(out_b, "checkpoint.npz"))
+    r = _dw_subprocess(base + ["-o", out_b, "--resume"], env_extra=env)
+    assert r.returncode == 0, r.stderr
+
+    for fname in ["inference_result.out.text",
+                  "inference_result.out.weights.text"]:
+        a = open(os.path.join(out_a, fname)).read()
+        b = open(os.path.join(out_b, fname)).read()
+        assert a == b, f"{fname} differs after sharded kill+resume"
+
+
 def test_text2bin_bin2text_round_trip(tmp_path):
     from sampler_tpu.io import text
     g = fixtures.mixed_graph()
