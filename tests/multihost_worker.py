@@ -66,10 +66,23 @@ def main():
                        n_sweeps=400, info=info2, mesh=mesh2,
                        chains_per_device=4)
 
+    # --- graph-sharded (model-parallel) LEARNING across processes --------
+    # owner-disjoint shard gradients psum over a graph axis that spans the
+    # process boundary (VERDICT.md r2 #9)
+    from sampler_tpu.parallel.graph_shard import learn_gs
+
+    gl2 = labeled_coin_graph(n_flips=200, p_heads=0.7, seed=3)
+    dgl2, infol2 = compile_graph(gl2, align=8 * 4)
+    cfg2 = LearnConfig(n_epochs=60, n_sweeps_per_epoch=1, stepsize=0.05,
+                       diminish=0.99, regularization="l2", reg_param=0.01)
+    w_gs = learn_gs(dgl2, dgl2.w_init, jax.random.PRNGKey(31), cfg2, infol2,
+                    mesh=mesh2, chains_per_device=4)
+
     if pid == 0:
         np.save(os.path.join(outdir, "marg.npy"), np.asarray(marg))
         np.save(os.path.join(outdir, "weights.npy"), np.asarray(w))
         np.save(os.path.join(outdir, "marg_gs.npy"), np.asarray(marg_gs))
+        np.save(os.path.join(outdir, "weights_gs.npy"), np.asarray(w_gs))
     # every process must reach the same replicated results
     np.save(os.path.join(outdir, f"marg_p{pid}.npy"), np.asarray(marg))
     print(f"[worker {pid}] done", flush=True)

@@ -128,6 +128,29 @@ def test_multihost_graph_sharded(multihost_results):
     assert np.abs(marg_mh[:, :2] - exact).max() < 0.05
 
 
+def test_multihost_graph_sharded_learning(multihost_results):
+    """learn_gs on the global (2 chains x 4 graph) mesh spanning both
+    processes: model-parallel learning's owner-disjoint gradient psum
+    crosses the process boundary; the weights must match the
+    single-process run bitwise and recover the label log-odds."""
+    from sampler_tpu.compile import compile_graph
+    from sampler_tpu.engine.learn import LearnConfig
+    from sampler_tpu.fixtures import labeled_coin_graph
+    from sampler_tpu.parallel.graph_shard import learn_gs, make_mesh
+
+    w_mh = np.load(os.path.join(multihost_results, "weights_gs.npy"))
+    gl2 = labeled_coin_graph(n_flips=200, p_heads=0.7, seed=3)
+    dgl2, infol2 = compile_graph(gl2, align=8 * 4)
+    cfg2 = LearnConfig(n_epochs=60, n_sweeps_per_epoch=1, stepsize=0.05,
+                       diminish=0.99, regularization="l2", reg_param=0.01)
+    w_sp = learn_gs(dgl2, dgl2.w_init, jax.random.PRNGKey(31), cfg2, infol2,
+                    mesh=make_mesh(2, 4), chains_per_device=4)
+    np.testing.assert_array_equal(w_mh, np.asarray(w_sp))
+    p_hat = gl2.var_init.mean()
+    w_star = float(np.log(p_hat / (1 - p_hat)))
+    assert abs(float(w_mh[0]) - w_star) < 0.25
+
+
 def test_multihost_replicated_on_every_process(multihost_results):
     m0 = np.load(os.path.join(multihost_results, "marg_p0.npy"))
     m1 = np.load(os.path.join(multihost_results, "marg_p1.npy"))
