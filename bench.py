@@ -106,8 +106,29 @@ def bench_learning(g, colors, modes, n_chains, epochs, sweeps_per_epoch,
     return sweeps / dt, updates / dt, compile_s, dt
 
 
+def bench_class(make_graph, label, n_chains, inner, outer):
+    """One non-flagship config class (categorical / arity-3) end-to-end
+    through run_inference_mc: compile, resolve modes, time updates/s."""
+    from sampler_tpu.compile import compile_graph, to_device
+    from sampler_tpu.engine.multichain import resolve_modes
+
+    g, colors = make_graph()
+    dg, info = compile_graph(g, colors=colors)
+    dgj = to_device(dg)
+    modes = resolve_modes(info)
+    rate, compile_s, dt = bench_inference(dgj, info, modes, n_chains, inner,
+                                          outer)
+    sys.stderr.write(
+        f"{label}: V={info.n_vars} K={info.max_card} A={info.max_arity} "
+        f"chains={n_chains} sweeps={inner}x{outer} modes={modes} "
+        f"compile={compile_s:.1f}s run={dt:.3f}s rate={rate:.3e}/s\n")
+    del dgj
+    return rate, modes
+
+
 def main():
-    from sampler_tpu.benchgraphs import big_ising_grid
+    from sampler_tpu.benchgraphs import (big_ising_grid, big_potts_grid,
+                                         big_triple_grid)
     from sampler_tpu.compile import compile_graph, to_device
     from sampler_tpu.engine.multichain import resolve_modes
 
@@ -140,6 +161,22 @@ def main():
         f"compile={lcompile_s:.1f}s run={ldt:.3f}s "
         f"rate={lrate_sweeps:.2f} sweeps/s ({lrate_upd:.3e} updates/s)\n")
 
+    # the other BASELINE config classes (VERDICT r2 #3): categorical
+    # domains (configs[2] shape, general [B,D,K,A,NC] path) and arity-3
+    # boolean — both through the shipped run_inference_mc
+    c_grid = int(os.environ.get("BENCH_CAT_GRID", "512"))
+    c_card = int(os.environ.get("BENCH_CAT_CARD", "4"))
+    c_chains = int(os.environ.get("BENCH_CAT_CHAINS", "128"))
+    cat_rate, cat_modes = bench_class(
+        lambda: big_potts_grid(c_grid, c_grid, card=c_card),
+        f"categorical {c_grid}x{c_grid} card={c_card}", c_chains, inner,
+        outer)
+    t_grid = int(os.environ.get("BENCH_TRI_GRID", "512"))
+    t_chains = int(os.environ.get("BENCH_TRI_CHAINS", "128"))
+    tri_rate, tri_modes = bench_class(
+        lambda: big_triple_grid(t_grid, t_grid),
+        f"arity3 {t_grid}x{t_grid}", t_chains, inner, outer)
+
     print(json.dumps({
         "metric": "variable_updates_per_s",
         "value": rate,
@@ -148,6 +185,10 @@ def main():
         "learning_sweeps_per_s": lrate_sweeps,
         "learning_updates_per_s": lrate_upd,
         "modes": list(modes),
+        "categorical_updates_per_s": cat_rate,
+        "categorical_modes": list(cat_modes),
+        "arity3_updates_per_s": tri_rate,
+        "arity3_modes": list(tri_modes),
     }))
 
 

@@ -135,3 +135,106 @@ def random_kbc_graph(n_vars: int, n_factors: int, max_arity: int = 3,
         e_eqpred=np.ones(E, np.int32),
     )
     return g
+
+
+def big_potts_grid(rows: int, cols: int, card: int = 4,
+                   w_pair: float = 0.5, w_bias: float = 0.2, seed: int = 0):
+    """Categorical (configs[2]-shaped) benchmark: an R×C grid of card-K
+    variables with AND_CATEGORICAL unary biases and EQUAL pairwise
+    couplings on random equality predicates.  Runs the GENERAL
+    [B, D, K, A, NC] candidate path (all_boolean is False), with the
+    banded MXU gather still applicable (card <= 127).  Returns
+    (FactorGraph, colors)."""
+    rng = np.random.default_rng(seed)
+    V = rows * cols
+    r, c = np.divmod(np.arange(V, dtype=np.int64), cols)
+
+    bias_vids = np.arange(V, dtype=np.int64)
+    hmask = c < cols - 1
+    h_a = np.nonzero(hmask)[0]
+    h_b = h_a + 1
+    vmask = r < rows - 1
+    v_a = np.nonzero(vmask)[0]
+    v_b = v_a + cols
+
+    n_bias, n_pair = V, len(h_a) + len(v_a)
+    F = n_bias + n_pair
+    f_type = np.concatenate([
+        np.full(n_bias, fs.FUNC_AND_CATEGORICAL, np.int32),
+        np.full(n_pair, fs.FUNC_EQUAL, np.int32),
+    ])
+    f_wid = np.concatenate([
+        np.zeros(n_bias, np.int32), np.ones(n_pair, np.int32)])
+    f_feat = np.ones(F, np.float64)
+    arity = np.concatenate([
+        np.ones(n_bias, np.int64), np.full(n_pair, 2, np.int64)])
+    f_ptr = np.zeros(F + 1, np.int64)
+    np.cumsum(arity, out=f_ptr[1:])
+
+    pair_edges = np.stack([np.concatenate([h_a, v_a]),
+                           np.concatenate([h_b, v_b])], axis=1).reshape(-1)
+    e_vid = np.concatenate([bias_vids, pair_edges]).astype(np.int32)
+    E = len(e_vid)
+
+    g = FactorGraph(
+        var_dtype=np.ones(V, np.uint8),        # categorical
+        var_role=np.zeros(V, np.uint8),
+        var_init=np.zeros(V, np.int32),
+        var_card=np.full(V, card, np.int32),
+        w_init=np.asarray([w_bias, w_pair], np.float64),
+        w_fixed=np.zeros(2, bool),
+        f_type=f_type, f_wid=f_wid, f_feat=f_feat, f_ptr=f_ptr,
+        e_vid=e_vid,
+        e_ispos=np.ones(E, bool),
+        e_eqpred=rng.integers(0, card, size=E).astype(np.int32),
+    )
+    colors = ((r + c) % 2).astype(np.int32)
+    return g, colors
+
+
+def big_triple_grid(rows: int, cols: int, w_tri: float = 0.3,
+                    w_bias: float = 0.2):
+    """Arity-3 boolean benchmark: ISTRUE biases + OR factors over each
+    horizontal (c, c+1, c+2) triple.  Exercises the A=3 general path (no
+    affine fusion).  Deterministic 3-coloring: columns mod 3 (all factor
+    members sit in one row within a 3-column window).  Returns
+    (FactorGraph, colors)."""
+    V = rows * cols
+    r, c = np.divmod(np.arange(V, dtype=np.int64), cols)
+
+    bias_vids = np.arange(V, dtype=np.int64)
+    tmask = c < cols - 2
+    t_a = np.nonzero(tmask)[0]
+
+    n_bias, n_tri = V, len(t_a)
+    F = n_bias + n_tri
+    f_type = np.concatenate([
+        np.full(n_bias, fs.FUNC_ISTRUE, np.int32),
+        np.full(n_tri, fs.FUNC_OR, np.int32),
+    ])
+    f_wid = np.concatenate([
+        np.zeros(n_bias, np.int32), np.ones(n_tri, np.int32)])
+    f_feat = np.ones(F, np.float64)
+    arity = np.concatenate([
+        np.ones(n_bias, np.int64), np.full(n_tri, 3, np.int64)])
+    f_ptr = np.zeros(F + 1, np.int64)
+    np.cumsum(arity, out=f_ptr[1:])
+
+    tri_edges = np.stack([t_a, t_a + 1, t_a + 2], axis=1).reshape(-1)
+    e_vid = np.concatenate([bias_vids, tri_edges]).astype(np.int32)
+    E = len(e_vid)
+
+    g = FactorGraph(
+        var_dtype=np.zeros(V, np.uint8),
+        var_role=np.zeros(V, np.uint8),
+        var_init=np.zeros(V, np.int32),
+        var_card=np.full(V, 2, np.int32),
+        w_init=np.asarray([w_bias, w_tri], np.float64),
+        w_fixed=np.zeros(2, bool),
+        f_type=f_type, f_wid=f_wid, f_feat=f_feat, f_ptr=f_ptr,
+        e_vid=e_vid,
+        e_ispos=np.ones(E, bool),
+        e_eqpred=np.ones(E, np.int32),
+    )
+    colors = (c % 3).astype(np.int32)
+    return g, colors
