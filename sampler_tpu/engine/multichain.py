@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import format_spec as fs
+from ..ops.weights import expand_wf, segment_reduce
 from .potentials import eval_phi
 
 NEG_INF = jnp.float32(-1e30)
@@ -271,7 +272,7 @@ def color_logits_mc(dg, ts, ti, values, weights, c, info,
         present,
         hmask=ts.cs_hmask[c][:, :, None, :, None],
     )                                                  # [B, D, K, NC]
-    wf = (weights[ts.cs_wid[c]] * ts.cs_feat[c])[:, :, None, None]
+    wf = expand_wf(weights, ts.cs_wid[c], ts.cs_feat[c])[:, :, None, None]
     contrib = wf * phi
     if info.has_sparse_cw:
         # sparse per-combination weights: the incident factor contributes
@@ -293,7 +294,7 @@ def color_logits_mc(dg, ts, ti, values, weights, c, info,
              + s_own[:, :, None, None] * ks[None, None, :, None]
              + nbr_sum[:, :, None, :])
         swid = dg.cwt_wid[jnp.clip(m, 0, T - 1)]
-        sc = weights[swid] * ts.cs_feat[c][:, :, None, None]
+        sc = expand_wf(weights, swid) * ts.cs_feat[c][:, :, None, None]
         contrib = jnp.where(ts.cs_issparse[c][:, :, None, None], sc,
                             contrib)
     return jnp.sum(contrib, axis=1)                    # [B, K, NC]
@@ -336,7 +337,7 @@ def color_delta_bool(ts, ti, values, weights, c, info,
     f_type = ts.cs_type[c][..., None]
     phi1 = _phi_from_counts(nl + o1, head1, n, f_type, present)
     phi0 = _phi_from_counts(nl + o0, head0, n, f_type, present)
-    wf = (weights[ts.cs_wid[c]] * ts.cs_feat[c])[..., None]   # [B, D, 1]
+    wf = expand_wf(weights, ts.cs_wid[c], ts.cs_feat[c])[..., None]
     return jnp.sum(wf * (phi1 - phi0), axis=1)                # [B, NC]
 
 
@@ -534,18 +535,43 @@ def _phi_streams(values, ownv, nbr, pos, eq, ismine, msk, typ, ar, hmask,
         vals = vals.reshape(rows, D, A1, NC)
     else:
         vals = values[nbr]
-    if A1 > 0:
-        if eq is None:
-            nbr_lit = (vals == jnp.asarray(1, dt)) == pos[..., :A1, None]
-        else:
-            nbr_lit = (vals == eq[..., :A1, None].astype(dt)) \
-                == pos[..., :A1, None]
     if eq is None:
-        own_lit = ((ownv[:, None, :] == jnp.asarray(1, dt))[:, :, None, :]
-                   == pos[:, :, :, None])                  # [rows, D, A, NC]
-    else:
-        own_lit = ((ownv[:, None, None, :] == eq[..., None].astype(dt))
-                   == pos[..., None])
+        # counts-based boolean path (mirrors color_delta_bool): reduce the
+        # slot axis IMMEDIATELY instead of materializing the concatenated
+        # [rows, D, A, NC] literal tensor — the gradient pass was VPU/HBM
+        # bound on exactly those temporaries (profile_learn, r2 #8)
+        nbrm = (msk & ~ismine)[..., :A1, None]
+        if A1 > 0:
+            nbr_lit = (vals == jnp.asarray(1, dt)) == pos[..., :A1, None]
+            nl = jnp.sum(nbr_lit & nbrm, axis=-2).astype(jnp.int32)
+        else:
+            nbr_lit = None
+            nl = jnp.zeros(msk.shape[:2] + (NC,), jnp.int32)
+        ownm = ismine & msk
+        o1 = jnp.sum(ownm & pos, axis=-1).astype(jnp.int32)  # [rows, D]
+        o0 = jnp.sum(ownm, axis=-1).astype(jnp.int32) - o1
+        v1 = ownv[:, None, :] == jnp.asarray(1, dt)          # [rows, 1, NC]
+        nown = jnp.where(v1, o1[..., None], o0[..., None])
+        if _need_head(present):
+            head_own = jnp.any(hmask & ismine, axis=-1)[..., None]
+            headpos = jnp.any(hmask & ismine & pos, axis=-1)[..., None]
+            if nbr_lit is not None:
+                hl = jnp.any(nbr_lit & (hmask & ~ismine)[..., :A1, None],
+                             axis=-2)
+            else:
+                hl = jnp.zeros(nl.shape, bool)
+            head = jnp.where(head_own,
+                             jnp.where(v1, headpos, ~headpos), hl)
+        else:
+            head = None
+        phi = _phi_from_counts(nl + nown, head, ar[..., None],
+                               typ[..., None], present)
+        return phi, vals
+    if A1 > 0:
+        nbr_lit = (vals == eq[..., :A1, None].astype(dt)) \
+            == pos[..., :A1, None]
+    own_lit = ((ownv[:, None, None, :] == eq[..., None].astype(dt))
+               == pos[..., None])
     lit_head = jnp.where(ismine[..., :A1, None], own_lit[..., :A1, :],
                          nbr_lit)
     lit = jnp.concatenate([lit_head, own_lit[..., A1:, :]], axis=-2)
@@ -594,11 +620,16 @@ def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
     all_bool = info.all_boolean
     gB = info.block_size
     grad = jnp.zeros((W,), jnp.float32)
+    # both worlds concatenated on the chain axis: ONE stream pass (one
+    # banded gather — the one-hot window build amortizes over 2NC lanes,
+    # and every cs_* slice is read once instead of twice); phi splits back
+    # below.  2NC stays lane-aligned whenever NC was.
+    v_both = jnp.concatenate([v_ev, v_free], axis=-1)
     for ts, ti in zip(dg.tiers, info.tiers):
         C, Bl, D, A = ts.cs_mask.shape       # Bl = local tier rows
         A1 = A - 1
         present = ti.present_funcs or info.present_funcs
-        rc = row_chunk or _grad_row_chunk(ti, Bl, D, A, NC)
+        rc = row_chunk or _grad_row_chunk(ti, Bl, D, A, 2 * NC)
         rc = min(rc, Bl)
         if Bl % rc:
             raise ValueError(f"row_chunk {rc} must divide tier block {Bl}")
@@ -630,14 +661,16 @@ def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
             else:
                 bd_c, rn_c = ts.bd_start[0, :1], None
             own0 = c * gB + ti.off + g * (ti.block // n_graph) + r0
-            own_e = ds(v_ev, (own0, 0), (rc, NC))
-            own_f = ds(v_free, (own0, 0), (rc, NC))
-            phi_e, nbrv_e = _phi_streams(v_ev, own_e, nbr, pos, eq, ismine,
-                                         msk, typ, ar, hmask, bd_c, rn_c,
-                                         ti, present, modes)
-            phi_f, nbrv_f = _phi_streams(v_free, own_f, nbr, pos, eq,
-                                         ismine, msk, typ, ar, hmask, bd_c,
-                                         rn_c, ti, present, modes)
+            own = ds(v_both, (own0, 0), (rc, 2 * NC))
+            phi, nbrv = _phi_streams(v_both, own, nbr, pos, eq, ismine,
+                                     msk, typ, ar, hmask, bd_c, rn_c,
+                                     ti, present, modes)
+            phi_e, phi_f = phi[..., :NC], phi[..., NC:]
+            if nbrv is None:
+                nbrv_e = nbrv_f = None
+            else:
+                nbrv_e, nbrv_f = nbrv[..., :NC], nbrv[..., NC:]
+            own_e, own_f = own[..., :NC], own[..., NC:]
             gsrc = ts.cs_gowner if learn_non_evidence else ts.cs_gtouch
             gm = ds(gsrc, (c, r0, 0), (1, rc, D))[0]
             feat = ds(ts.cs_feat, (c, r0, 0), (1, rc, D))[0]
@@ -647,8 +680,7 @@ def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
             if info.has_sparse_cw:
                 issp = ds(ts.cs_issparse, (c, r0, 0), (1, rc, D))[0]
                 diff = jnp.where(issp, 0.0, diff)
-            grad = grad + jax.ops.segment_sum(diff.ravel(), wid.ravel(),
-                                              num_segments=W)
+            grad = grad + segment_reduce(diff, wid, W)
             if info.has_sparse_cw:
                 # sparse factors: φ ≡ 1 on the current combination, so the
                 # owner record contributes +feat at wid(ev world) and −feat
@@ -673,11 +705,11 @@ def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
                     return dg.cwt_wid[jnp.clip(m, 0, T - 1)]
 
                 sel = jnp.where(gm & issp, feat, 0.0)[..., None] / NC
-                sel = jnp.broadcast_to(sel, (rc, D, NC)).ravel()
-                grad = grad + jax.ops.segment_sum(
-                    sel, comb_wid(own_e, nbrv_e).ravel(), num_segments=W)
-                grad = grad - jax.ops.segment_sum(
-                    sel, comb_wid(own_f, nbrv_f).ravel(), num_segments=W)
+                sel = jnp.broadcast_to(sel, (rc, D, NC))
+                grad = grad + segment_reduce(
+                    sel, comb_wid(own_e, nbrv_e), W)
+                grad = grad - segment_reduce(
+                    sel, comb_wid(own_f, nbrv_f), W)
             return grad
 
         n = C * nch

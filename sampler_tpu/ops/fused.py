@@ -125,7 +125,12 @@ def fold_affine(ts, weights, band_tb: int):
     """
     import jax.numpy as jnp
 
-    wf = weights[ts.cs_wid] * ts.cs_feat               # [C, B, D]
+    from .weights import expand_wf
+
+    # scatter-free weight expansion: the plain weights[cs_wid] row gather
+    # over C*B*D rows is issue-rate bound and cost 1.7x a whole fused sweep
+    # per epoch (profile_learn, r2 #8)
+    wf = expand_wf(weights, ts.cs_wid, ts.cs_feat)     # [C, B, D]
     beta = wf * ts.ab_b
     base = jnp.sum(wf * ts.ab_a, axis=-1)              # [C, B]
     C, B, D = wf.shape

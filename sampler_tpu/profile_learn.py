@@ -24,22 +24,23 @@ import numpy as np
 
 
 def hsync(x):
+    """Force real completion: host read of one element of the LAST pytree
+    leaf (axon block_until_ready is a no-op — bench.py protocol)."""
     import jax
-    return np.asarray(jax.device_get(np.asarray(x).ravel()[-1]
-                                     if isinstance(x, np.ndarray)
-                                     else x.ravel()[-1]))
+    leaf = [l for l in jax.tree_util.tree_leaves(x) if l is not None][-1]
+    return np.asarray(jax.device_get(jax.numpy.ravel(leaf)[-1]))
 
 
 def timeit(fn, *args, reps=3, inner=1):
     """Median wall time of fn(*args) (jit-compiled callables)."""
     out = fn(*args)
-    hsync(out if not isinstance(out, tuple) else out[0])   # compile
+    hsync(out)                                             # compile
     ts = []
     for _ in range(reps):
         t0 = time.time()
         for _ in range(inner):
             out = fn(*args)
-        hsync(out if not isinstance(out, tuple) else out[0])
+        hsync(out)
         ts.append((time.time() - t0) / inner)
     return float(np.median(ts)), out
 
