@@ -103,6 +103,13 @@ class TierStreams(NamedTuple):
     #                        d-major within tile ([C,1,1,1] when off)
     ab_a: np.ndarray       # f32 [C, B, D] delta-phi intercept ([C,1,1] off)
     ab_b: np.ndarray       # f32 [C, B, D] delta-phi slope in neighbor value
+    # K-candidate fused color step (ops/fused.py; TierInfo.affinek —
+    # categorical/mixed arity<=2 tiers; placeholders when off):
+    cs_cka: np.ndarray     # f32 [C, B, D] pre-weight candidate coefficient
+    cs_ckb: np.ndarray     # f32 [C, B, D] pre-weight e-slope coefficient
+    bd_eqo: np.ndarray     # int32 [C, ntiles, D*TB, 1] own eq predicate,
+    #                        column d-major ([C,1,1,1] when off)
+    bd_eqn: np.ndarray     # int32 [C, ntiles, D*TB, 1] neighbor eq pred
     # precomputed draw masks (runtime comparisons against sliced metadata
     # trigger a pathological Mosaic lowering — ~400x slower — so these are
     # baked at compile time and streamed):
@@ -179,6 +186,7 @@ class TierInfo:
     band_k: int = 0       # windows per tile (1 = single, >= 2 multi-window)
     bounds: bool = False  # bd_lo/bd_hi hold true read bounds
     affine2: bool = False  # fused affine color step available
+    affinek: bool = False  # K-candidate fused color step available
     present_funcs: tuple = ()  # factor-function ids in THIS tier's records
 
 
@@ -198,6 +206,7 @@ class CompileInfo:
     band_tb: int = 0            # band tile rows (uniform across tiers)
     bounds: bool = False        # ALL tiers have true read bounds (halo ok)
     affine2: bool = False       # any tier runs the fused affine step
+    affinek: bool = False       # any tier runs the K-candidate fused step
     has_sparse_cw: bool = False  # sparse per-combination weights present
     tiers: tuple = ()           # TierInfo per tier (ascending degree)
 
@@ -484,6 +493,7 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
         band_tb=band_tile,
         bounds=all(ti.bounds for ti in tier_infos),
         affine2=any(ti.affine2 for ti in tier_infos),
+        affinek=any(ti.affinek for ti in tier_infos),
         has_sparse_cw=has_cw,
         tiers=tuple(tier_infos),
     )
@@ -689,15 +699,44 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
     # --- fused affine color step (ops/fused.py) ----------------------------
     # single-window banding only: the fused kernel DMAs one window
     affine2 = bool(band_w > 0 and band_k == 1 and affine_cand)
-    if affine2:
+    # K-candidate fused step: categorical/mixed arity<=2 tiers where every
+    # real incident factor has exactly ONE own slot (repeated-variable
+    # factors break the single [k == eq_own] form) and K is small enough
+    # for the in-kernel candidate unroll
+    cat_cand = bool(band_w > 0 and band_k == 1 and not all_boolean
+                    and not has_cw and A_t == 2 and 2 <= K <= 32)
+    if cat_cand:
+        realrec = cs_mask.any(-1)
+        cat_cand = bool(
+            (cs_ismine.sum(-1)[realrec] == 1).all()) if realrec.any() \
+            else False
+    affinek = bool(cat_cand and not affine2)
+    if affine2 or affinek:
         ntiles = bd_start.shape[1]
         TB = Bt // ntiles
         bd_nbr = (cs_nbr[..., 0].reshape(C, ntiles, TB, D)
                   .transpose(0, 1, 3, 2).reshape(C, ntiles, 1, D * TB)
                   .copy())
     else:
-        ab_a = ab_b = np.zeros((C, 1, 1), np.float32)
         bd_nbr = np.zeros((C, 1, 1, 1), np.int32)
+    if not affine2:
+        ab_a = ab_b = np.zeros((C, 1, 1), np.float32)
+    if affinek:
+        from .ops.fused import affine_cat
+
+        cka, ckb = affine_cat(cs_pos, cs_mask, cs_ismine, cs_hmask,
+                              cs_type, present_t)
+
+        def _colmaj(x):      # [C, Bt, D] -> [C, ntiles, D*TB, 1] d-major
+            return (x.reshape(C, ntiles, TB, D).transpose(0, 1, 3, 2)
+                     .reshape(C, ntiles, D * TB, 1).copy())
+
+        cs_cka, cs_ckb = cka, ckb
+        bd_eqo = _colmaj(cs_eq[..., A_t - 1].astype(np.int32))
+        bd_eqn = _colmaj(cs_eq[..., 0].astype(np.int32))
+    else:
+        cs_cka = cs_ckb = np.zeros((C, 1, 1), np.float32)
+        bd_eqo = bd_eqn = np.zeros((C, 1, 1, 1), np.int32)
 
     # --- draw masks ---------------------------------------------------------
     cm_view = lambda a: a[:-1].reshape(C, B)[:, off_t:off_t + Bt]
@@ -718,6 +757,7 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
         cs_cwstride=cs_cwstride,
         bd_start=bd_start, bd_rnbr=bd_rnbr, bd_lo=bd_lo, bd_hi=bd_hi,
         bd_nbr=bd_nbr, ab_a=ab_a, ab_b=ab_b,
+        cs_cka=cs_cka, cs_ckb=cs_ckb, bd_eqo=bd_eqo, bd_eqn=bd_eqn,
         cm_kmask=cm_kmask, cm_resample=cm_resample,
         cm_resample_ev=cm_resample_ev,
     )
@@ -725,7 +765,7 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
         off=off_t, block=Bt, degree=D, arity=A_t,
         band_w=band_w, band_tb=band_tile if band_w else 0,
         band_k=band_k,
-        bounds=bounds, affine2=affine2,
+        bounds=bounds, affine2=affine2, affinek=affinek,
         present_funcs=present_t,
     )
     return ts, ti

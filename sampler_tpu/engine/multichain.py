@@ -186,7 +186,7 @@ def tier_modes(ti, modes) -> tuple:
     band, fused = modes
     if ti.band_w <= 0:
         band = "off"
-    if not ti.affine2:
+    if not (ti.affine2 or ti.affinek):
         fused = "off"
     return band, fused
 
@@ -348,28 +348,46 @@ def prepare_fold(dg, weights, info, modes):
     tiers the fused path does not cover), or None when no tier runs fused.
     Called OUTSIDE the sweep loops — the fold includes a weights gather
     that must be amortized over many sweeps."""
-    from ..ops.fused import fold_affine
+    from ..ops.fused import fold_affine, fold_affine_cat
 
-    if modes[1] == "off" or not info.affine2:
+    if modes[1] == "off" or not (info.affine2 or info.affinek):
         return None
     w = jnp.asarray(weights, jnp.float32)
-    return tuple(
-        fold_affine(ts, w, ti.band_tb) if ti.affine2 else None
-        for ts, ti in zip(dg.tiers, info.tiers))
+
+    def fold_one(ts, ti):
+        if ti.affine2:
+            return fold_affine(ts, w, ti.band_tb)
+        if ti.affinek:
+            return fold_affine_cat(ts, w, ti.band_tb)
+        return None
+
+    return tuple(fold_one(ts, ti) for ts, ti in zip(dg.tiers, info.tiers))
 
 
 def color_draw_tier(dg, ts, ti, values, weights, key, c, info,
                     folded_t=None, modes=("off", "off")):
     """Draw new candidate values [B_t, NC] for one tier of color ``c``."""
     if folded_t is not None and tier_modes(ti, modes)[1] != "off":
-        from ..ops.fused import fused_color_draw
-
         seed = jax.lax.bitcast_convert_type(key, jnp.int32).reshape(-1)[:2]
         D = ts.cs_mask.shape[2]
-        return fused_color_draw(values, ts.bd_nbr[c], ts.bd_start[c],
-                                folded_t[0][c], folded_t[1][c], seed,
-                                ti.band_w, ti.band_tb, D,
-                                interpret=(modes[1] == "interpret"))
+        if ti.affine2:
+            from ..ops.fused import fused_color_draw
+
+            return fused_color_draw(values, ts.bd_nbr[c], ts.bd_start[c],
+                                    folded_t[0][c], folded_t[1][c], seed,
+                                    ti.band_w, ti.band_tb, D,
+                                    interpret=(modes[1] == "interpret"))
+        from ..ops.fused import fused_cat_draw
+
+        K = info.max_card
+        TB = ti.band_tb
+        nt = ts.cm_kmask.shape[1] // TB    # LOCAL tiles (graph sharding)
+        kmask = ts.cm_kmask[c].reshape(nt, TB, K)
+        return fused_cat_draw(values, ts.bd_nbr[c], ts.bd_start[c],
+                              ts.bd_eqo[c], ts.bd_eqn[c],
+                              folded_t[0][c], folded_t[1][c], kmask, seed,
+                              ti.band_w, TB, D, K,
+                              interpret=(modes[1] == "interpret"))
     if info.all_boolean and info.max_card == 2:
         delta = color_delta_bool(ts, ti, values, weights, c, info, modes)
         u = jax.random.uniform(key, delta.shape, dtype=delta.dtype)

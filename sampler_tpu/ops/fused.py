@@ -142,6 +142,72 @@ def fold_affine(ts, weights, band_tb: int):
     return beta, base
 
 
+def affine_cat(cs_pos, cs_mask, cs_ismine, cs_hmask, cs_type, present=None):
+    """K-candidate (categorical) affine analysis for arity<=2 tiers where
+    every real incident factor has exactly ONE own slot (own-last slot A-1;
+    neighbor slot 0).
+
+    Literals are binary even for categorical variables — lit = (value ==
+    eqpred) == ispos — so phi is a 4-point table T[olit, nlit] of
+    compile-time constants, and the candidate-k log-potential of one
+    incidence reduces (dropping k-independent terms, which cancel in the
+    softmax) to
+
+        wf * (a + b * e) * [k == eq_own],   e = [v_nbr == eq_nbr],
+
+    with a = sgn_o*((T10-T00) + D*(1-pos_n)),  b = sgn_o*D*(2*pos_n-1),
+    D = T11-T10-T01+T00, sgn_o = 2*pos_own-1.  Arity-1 incidences fall out
+    automatically (neighbor slot masked -> T01==T00, T11==T10 -> b == 0).
+
+    Returns float32 (a, b) of shape [..., D] (pre-weight coefficients;
+    fold_affine_cat multiplies by wf at weights-change time).
+    TPU-native replacement for the categorical branch of the reference's
+    sample_single_variable inner loop (SURVEY.md §3.2, §2b).
+    """
+
+    def phi(o, ln):
+        lits = np.where(cs_ismine, o, ln) & cs_mask
+        nlit = lits.sum(-1, dtype=np.int32)
+        n = cs_mask.sum(-1, dtype=np.int32)
+        head = (lits & cs_hmask).any(-1)
+        return _phi_np(nlit, head, n, cs_type, present)
+
+    t00 = phi(False, False)
+    t01 = phi(False, True)
+    t10 = phi(True, False)
+    t11 = phi(True, True)
+    pos_o = cs_pos[..., -1]
+    pos_n = cs_pos[..., 0]
+    dd = t11 - t10 - t01 + t00
+    sgn_o = np.where(pos_o, np.float32(1.0), np.float32(-1.0))
+    a = sgn_o * ((t10 - t00) + dd * (~pos_n))
+    b = sgn_o * dd * np.where(pos_n, np.float32(1.0), np.float32(-1.0))
+    return a.astype(np.float32), b.astype(np.float32)
+
+
+def fold_affine_cat(ts, weights, band_tb: int):
+    """(av, bv) column-d-major [C, ntiles, D*TB, 1] float32 for one tier's
+    K-candidate fused step: the compile-time (a, b) coefficients scaled by
+    wf = weights[wid]*feat.  Called once per weights value (outside the
+    sweep loops)."""
+    import jax.numpy as jnp
+
+    from .weights import expand_wf
+
+    wf = expand_wf(weights, ts.cs_wid, ts.cs_feat)     # [C, B, D]
+    av = wf * ts.cs_cka
+    bv = wf * ts.cs_ckb
+    C, B, D = wf.shape
+    TB = band_tb
+    nt = B // TB
+
+    def col(x):
+        return (x.reshape(C, nt, TB, D).transpose(0, 1, 3, 2)
+                 .reshape(C, nt, D * TB, 1))
+
+    return col(av), col(bv)
+
+
 def fused_mode() -> str:
     """'auto' | 'on' | 'interpret' | 'off' (env SAMPLER_TPU_FUSED)."""
     return os.environ.get("SAMPLER_TPU_FUSED", "auto").lower()
@@ -154,7 +220,8 @@ def resolve_fused(info, band: str, backend: str | None = None) -> str:
     (the unfused delta path IS the XLA fallback), so banding mode 'xla'
     — "no Mosaic anywhere" — must never route here.  Like resolve_band,
     call OUTSIDE jit so the decision is part of the jit cache key."""
-    if not getattr(info, "affine2", False):
+    if not (getattr(info, "affine2", False)
+            or getattr(info, "affinek", False)):
         return "off"
     mode = fused_mode()
     if mode == "off":
@@ -309,3 +376,133 @@ def fused_color_draw(values, nbr_dmaj, starts, beta, base, seed,
             bytes_accessed=int(ntiles * (R * 8 + W * NC + TB * NC))),
         interpret=interpret,
     )(starts, seed, nbr_dmaj, beta, base, values)
+
+
+# --------------------------------------------------------------------------
+# K-candidate (categorical) fused kernel
+# --------------------------------------------------------------------------
+
+def _cat_kernel(starts_ref, seed_ref, nbr_ref, eqo_ref, eqn_ref, av_ref,
+                bv_ref, kmask_ref, values_ref, out_ref, win_ref, sem,
+                *, W: int, TB: int, D: int, K: int, interpret: bool):
+    """One tile of the K-candidate fused color step.
+
+    Per tile: DMA the value window -> one-hot MXU gather of the D*TB
+    neighbor values -> e = (gathered == eq_nbr) -> per-candidate masked
+    plane-reduce of (av + bv*e) -> Gumbel-argmax draw over K candidates,
+    all in VMEM (the XLA general path materializes [B, D, K, A, NC]
+    literal tensors through HBM — that traffic, not the gather, is what
+    held categorical below 1e9 updates/s in BENCH_r03)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = pl.program_id(0)
+    start = pl.multiple_of(starts_ref[t], 256)
+    copy = pltpu.make_async_copy(
+        values_ref.at[pl.ds(start, W), :], win_ref, sem)
+    copy.start()
+    knuth = jnp.int32(-1640531535)                     # 0x9E3779B1
+    tseed = seed_ref[1] ^ (t * knuth)
+    if not interpret:
+        pltpu.prng_seed(seed_ref[0], tseed)
+
+    R = D * TB
+    il = nbr_ref[0] - start                            # [1, R] d-major
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
+    oh = (il == iota_w).astype(jnp.int8)               # [W, R]
+    copy.wait()
+    acc = jax.lax.dot_general(
+        oh, win_ref[:].astype(jnp.int8),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)              # [R, NC] gathered
+    NC = acc.shape[-1]
+    e = (acc == eqn_ref[0]).astype(jnp.float32)        # [R, NC]
+    contrib = av_ref[0] + bv_ref[0] * e                # [R, NC]
+    eqo = eqo_ref[0]                                   # [R, 1]
+
+    best = None
+    best_k = jnp.zeros((TB, NC), jnp.int32)
+    for k in range(K):                                 # static unroll
+        mk = jnp.where(eqo == k, contrib, 0.0)
+        lk = mk[:TB]
+        for d in range(1, D):
+            lk = lk + mk[d * TB:(d + 1) * TB]          # [TB, NC]
+        lk = lk + kmask_ref[0][:, k:k + 1]
+        if interpret:
+            # distinct counter stream per candidate (the hardware PRNG
+            # advances between calls; the portable hash must be re-keyed)
+            bits = _portable_bits((TB, NC), seed_ref[0],
+                                  tseed ^ (knuth * jnp.int32(k + 1)))
+        else:
+            bits = pltpu.prng_random_bits((TB, NC))
+        u24 = jax.lax.shift_right_logical(
+            bits, jnp.asarray(8, bits.dtype)).astype(jnp.int32) \
+            & jnp.int32(0xFFFFFF)
+        u = u24.astype(jnp.float32) * jnp.float32(2.0 ** -24) \
+            + jnp.float32(2.0 ** -25)
+        g = -jnp.log(-jnp.log(u))
+        score = lk + g
+        if best is None:
+            best = score
+        else:
+            take = score > best
+            best = jnp.where(take, score, best)
+            best_k = jnp.where(take, k, best_k)
+    out_ref[:] = best_k.astype(out_ref.dtype)
+
+
+def fused_cat_draw(values, nbr_dmaj, starts, eqo, eqn, av, bv, kmask, seed,
+                   W: int, TB: int, D: int, K: int,
+                   interpret: bool = False):
+    """Run the K-candidate fused color step for one (color, tier).
+
+    values [P, NC] int dtype; nbr_dmaj [ntiles, 1, D*TB] int32 global
+    positions (d-major); starts [ntiles] int32 window DMA starts;
+    eqo/eqn [ntiles, D*TB, 1] int32 own-candidate / neighbor equality
+    predicates (column d-major); av/bv [ntiles, D*TB, 1] f32 folded
+    coefficients; kmask [ntiles, TB, K] f32 (0 or -1e30 for k >= card);
+    seed int32[2].  Returns drawn values [ntiles*TB, NC]."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ntiles = nbr_dmaj.shape[0]
+    R = D * TB
+    P, NC = values.shape
+    kern = partial(_cat_kernel, W=W, TB=TB, D=D, K=K, interpret=interpret)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # nbr
+            pl.BlockSpec((1, R, 1), lambda t, s, z: (t, 0, 0)),   # eqo
+            pl.BlockSpec((1, R, 1), lambda t, s, z: (t, 0, 0)),   # eqn
+            pl.BlockSpec((1, R, 1), lambda t, s, z: (t, 0, 0)),   # av
+            pl.BlockSpec((1, R, 1), lambda t, s, z: (t, 0, 0)),   # bv
+            pl.BlockSpec((1, TB, K), lambda t, s, z: (t, 0, 0)),  # kmask
+            pl.BlockSpec(memory_space=pl.ANY),                    # values
+        ],
+        out_specs=pl.BlockSpec((TB, NC), lambda t, s, z: (t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((W, NC), values.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    from .banded import out_vma
+
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (ntiles * TB, NC), values.dtype,
+            vma=out_vma(values, nbr_dmaj, starts, eqo, eqn, av, bv, kmask,
+                        seed)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ntiles * R * W * NC,
+            transcendentals=2 * ntiles * K * TB * NC,
+            bytes_accessed=int(ntiles * (R * 20 + TB * K * 4 + W * NC
+                                         + TB * NC))),
+        interpret=interpret,
+    )(starts, seed, nbr_dmaj, eqo, eqn, av, bv, kmask, values)

@@ -34,26 +34,34 @@ import jax
 import jax.numpy as jnp
 
 
+# Max weight-table size for the compare-reduce paths.  Read ONCE at import
+# (env SAMPLER_TPU_SMALL_W): the value participates in trace-time branching,
+# so changing it mid-process would leave already-compiled functions on the
+# old path — set it before importing sampler_tpu.
+SMALL_W = int(os.environ.get("SAMPLER_TPU_SMALL_W", 64))
+
+
 def small_w_threshold() -> int:
-    """Max weight-table size for the compare-reduce paths
-    (env SAMPLER_TPU_SMALL_W, default 64)."""
-    return int(os.environ.get("SAMPLER_TPU_SMALL_W", 64))
+    """The import-time SMALL_W constant (kept as a function for callers)."""
+    return SMALL_W
 
 
 def expand_wf(weights, wid, feat=None):
     """``weights[wid] (* feat)`` without a row gather when W is small.
 
-    wid: int array of any shape; weights [W] float32.  Returns float32 of
-    wid's shape.  Bitwise-identical values to the gather (pure selection,
-    no re-association)."""
+    wid: int array of any shape; weights [W].  Returns wid's shape.
+    Numerically identical to the gather for finite float32 weights (pure
+    selection, no re-association; the masked sum maps -0.0 to +0.0)."""
     W = weights.shape[0]
-    if W <= small_w_threshold():
+    if W <= SMALL_W:
         iota = jnp.arange(W, dtype=jnp.int32)
         wf = jnp.sum(jnp.where(wid[..., None] == iota,
                                weights.astype(jnp.float32),
                                jnp.float32(0)), axis=-1)
     else:
-        wf = weights[wid].astype(jnp.float32)
+        wf = weights[wid]
+        if wf.dtype != jnp.float32:
+            wf = wf.astype(jnp.float32)
     return wf if feat is None else wf * feat
 
 
