@@ -107,8 +107,13 @@ EXPORT int64_t sampler_parse_factors(
 
 // ---------------------------------------------------------------------------
 // Greedy coloring of the variable-adjacency graph (variables adjacent iff
-// they share a factor), largest-degree-first.  Works directly from the
-// factor CSR (f_ptr, e_vid) without materializing the adjacency.
+// they share a factor), largest-degree-first, LOAD-BALANCED: among the
+// permissible existing colors the least-loaded one is chosen (first-fit
+// only opens a NEW color when all current colors are forbidden).  Balance
+// matters because the device layout pads every color block to the largest
+// color's per-tier count — first-fit on KBC-shaped graphs put ~1e6
+// variables in color 0 and ~8 in color 19, inflating the padded stream
+// volume by the color count (the 4e6-var compile OOM'd a 125 GB host).
 // ---------------------------------------------------------------------------
 
 EXPORT int64_t sampler_greedy_color(int64_t n_vars, int64_t n_factors,
@@ -145,6 +150,7 @@ EXPORT int64_t sampler_greedy_color(int64_t n_vars, int64_t n_factors,
   std::fill(colors, colors + n_vars, -1);
 
   int32_t max_color = -1;
+  std::vector<int64_t> load;
   for (int64_t oi = 0; oi < n_vars; ++oi) {
     int64_t v = order[oi];
     // mark colors of co-members of incident factors
@@ -156,10 +162,20 @@ EXPORT int64_t sampler_greedy_color(int64_t n_vars, int64_t n_factors,
           stamp[colors[u]] = oi;
       }
     }
-    int32_t c = 0;
-    while (stamp[c] == oi) ++c;
+    int32_t c = -1;
+    int64_t best_load = INT64_MAX;
+    for (int32_t k = 0; k <= max_color; ++k)
+      if (stamp[k] != oi && load[k] < best_load) {
+        best_load = load[k];
+        c = k;
+      }
+    if (c < 0) {
+      ++max_color;
+      c = max_color;
+      if ((int64_t)load.size() <= max_color) load.resize(max_color + 1, 0);
+    }
     colors[v] = c;
-    if (c > max_color) max_color = c;
+    load[c]++;
   }
   return max_color + 1;  // number of colors
 }

@@ -49,11 +49,18 @@ def variable_adjacency(graph: FactorGraph):
 
 
 def greedy_coloring(graph: FactorGraph) -> np.ndarray:
-    """Color variables greedily (largest-first order); returns int32 [V].
+    """Color variables greedily (largest-first order), LOAD-BALANCED;
+    returns int32 [V].
 
-    No two variables sharing a factor get the same color (validated by
-    tests/test_coloring.py).  Uses the native C++ colorer when built
-    (sampler_tpu.native); the Python path is the fallback/spec.
+    Among the permissible existing colors the least-loaded one is chosen;
+    a new color opens only when every current color is forbidden (same
+    color count bound as first-fit).  Balance matters because the device
+    layout pads every color block to the largest color's per-tier count
+    (compile.py) — first-fit on KBC-shaped graphs put ~1e6 variables in
+    color 0 and a handful in the last, inflating padded stream volume by
+    the color count.  No two variables sharing a factor get the same color
+    (validated by tests/test_coloring.py).  Uses the native C++ colorer
+    when built (sampler_tpu.native); the Python path is the fallback/spec.
     """
     from . import native
     if native.available():
@@ -67,6 +74,7 @@ def greedy_coloring(graph: FactorGraph) -> np.ndarray:
     colors = np.full(V, -1, np.int32)
     max_deg = int(degree.max()) if V else 0
     forbidden = np.zeros(max_deg + 2, np.int64)  # stamp buffer
+    load = []
     stamp = 0
     for v in order:
         stamp += 1
@@ -74,10 +82,17 @@ def greedy_coloring(graph: FactorGraph) -> np.ndarray:
         ncol = colors[neigh]
         ncol = ncol[ncol >= 0]
         forbidden[ncol] = stamp
-        c = 0
-        while forbidden[c] == stamp:
-            c += 1
+        c = -1
+        best = None
+        for k in range(len(load)):
+            if forbidden[k] != stamp and (best is None or load[k] < best):
+                best = load[k]
+                c = k
+        if c < 0:
+            c = len(load)
+            load.append(0)
         colors[v] = c
+        load[c] += 1
     return colors
 
 

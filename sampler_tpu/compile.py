@@ -116,6 +116,15 @@ class TierStreams(NamedTuple):
     cm_kmask: np.ndarray        # float32 [C, B, K]: 0 if k < card else -1e30
     cm_resample: np.ndarray     # bool [C, B]: query & not pad
     cm_resample_ev: np.ndarray  # bool [C, B]: not pad (sample_evidence mode)
+    # HUB tier only (TierInfo.hub; [C, 1] placeholder otherwise): the cs_*
+    # streams of a hub tier are CHUNKED CSR records [C, M, G, A] — M chunks
+    # of G records each, every chunk owned by ONE tier-local variable row —
+    # and hb_row maps chunk -> owning row (pad chunks -> block, a dummy
+    # segment).  A power-law hub with degree 1e5 would inflate a dense
+    # [B, D, A] tier by ~1e4x (the 4e6-var KBC compile needed 712 GB);
+    # chunking keeps the stream O(edges) and turns the per-variable
+    # reduction into chunk-sums + one short segment-sum.
+    hb_row: np.ndarray          # int32 [C, M] chunk -> tier-local row
 
 
 class DeviceGraph(NamedTuple):
@@ -187,6 +196,9 @@ class TierInfo:
     bounds: bool = False  # bd_lo/bd_hi hold true read bounds
     affine2: bool = False  # fused affine color step available
     affinek: bool = False  # K-candidate fused color step available
+    hub: bool = False     # chunked-CSR hub tier (degree > hub_cap)
+    chunks: int = 0       # M: padded chunks per color (hub tier)
+    chunk_g: int = 0      # G: records per chunk (hub tier)
     present_funcs: tuple = ()  # factor-function ids in THIS tier's records
 
 
@@ -207,6 +219,7 @@ class CompileInfo:
     bounds: bool = False        # ALL tiers have true read bounds (halo ok)
     affine2: bool = False       # any tier runs the fused affine step
     affinek: bool = False       # any tier runs the K-candidate fused step
+    has_hub: bool = False       # a chunked-CSR hub tier is present
     has_sparse_cw: bool = False  # sparse per-combination weights present
     tiers: tuple = ()           # TierInfo per tier (ascending degree)
 
@@ -300,8 +313,10 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
                   band_min_block: int = 4096,
                   max_tiers: int = 4,
                   shards: int = 1,
-                  order: np.ndarray | None = None) -> tuple[DeviceGraph,
-                                                            CompileInfo]:
+                  order: np.ndarray | None = None,
+                  hub_cap: int = 2048,
+                  hub_chunk: int = 512) -> tuple[DeviceGraph,
+                                                 CompileInfo]:
     """Build the padded color-major, degree-tiered device layout.
 
     band_*: parameters of the banded (MXU one-hot matmul) gather plan — see
@@ -314,6 +329,11 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
     order: optional int ordering key per variable (smaller = earlier within
     its (color, tier) segment) — e.g. an RCM rank for bandwidth reduction;
     default keeps original-id order.
+    hub_cap / hub_chunk: variables with more than ``hub_cap`` incident
+    factors go to a chunked-CSR HUB tier (``hub_chunk`` records per chunk)
+    instead of a dense [B, D, A] tier — a power-law head variable must not
+    inflate the padded stream volume by its own degree (SURVEY.md §7
+    hard-part 2).
     """
     graph.validate()
     V, F, E = graph.n_vars, graph.n_factors, graph.n_edges
@@ -340,8 +360,20 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
                                   np.minimum(vstarts, len(uv) - 1))
         maxA_v = np.where(degree_v > 0, red, 1)
 
-    # --- degree tiers -----------------------------------------------------
-    tier_of_v, T = plan_tiers(degree_v, maxA_v, max_tiers)
+    # --- degree tiers (hubs split off first) ------------------------------
+    is_hub = degree_v > hub_cap
+    n_hub = int(is_hub.sum())
+    if n_hub:
+        dense = ~is_hub
+        tier_of_v = np.zeros(V, np.int32)
+        td, T = plan_tiers(degree_v[dense], maxA_v[dense], max_tiers)
+        tier_of_v[dense] = td
+        tier_of_v[is_hub] = T          # hub tier is the LAST tier
+        hub_tier = T
+        T = T + 1
+    else:
+        tier_of_v, T = plan_tiers(degree_v, maxA_v, max_tiers)
+        hub_tier = -1
 
     # --- per-(color, tier) counts -> padded tier blocks -------------------
     gidx = colors.astype(np.int64) * T + tier_of_v
@@ -350,7 +382,7 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
     try_band_t = np.zeros(T, bool)
     for t in range(T):
         b = _round_up(max(int(gcnt[:, t].max()), 1), align)
-        if band_tile > 0 and b >= band_min_block:
+        if band_tile > 0 and b >= band_min_block and t != hub_tier:
             q = int(np.lcm(align, band_tile * max(shards, 1)))
             b = _round_up(b, q)
             try_band_t[t] = True
@@ -409,6 +441,11 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
     # device lookup needs NO mask (SURVEY.md §7 hard-part 3: hash-free).
     ZERO_WID = graph.n_weights
     has_cw = graph.cw_fid is not None and len(graph.cw_fid) > 0
+    if has_cw and n_hub:
+        raise ValueError(
+            f"sparse per-combination weights cannot combine with hub-tier "
+            f"variables yet ({n_hub} variables exceed hub_cap={hub_cap}); "
+            "raise hub_cap or use dense weights")
     if has_cw:
         f_cwbase_full = np.full(F + 1, -1, np.int64)
         f_cwstride_full = np.zeros((F + 1, A), np.int64)
@@ -461,14 +498,23 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
     tier_infos = []
     for t in range(T):
         sel = tier_of_pair == t
-        ts, ti = _build_tier(
-            t, int(off[t]), int(Bt[t]), C, B, P, DUMMY,
-            up[sel], uf[sel], rloc[sel],
-            f_vids, f_ispos, f_eqpred, f_mask, f_type, f_arity, f_wid,
-            f_feat, f_minpos, f_touch, f_cwbase, f_cwstride,
-            var_card, var_role,
-            A, K, eq_dtype, all_boolean, has_cw,
-            bool(try_band_t[t]), band_tile, band_wmax)
+        if t == hub_tier:
+            ts, ti = _build_hub_tier(
+                int(off[t]), int(Bt[t]), C, B, P, DUMMY,
+                up[sel], uf[sel], rloc[sel],
+                f_vids, f_ispos, f_eqpred, f_mask, f_type, f_arity, f_wid,
+                f_feat, f_minpos, f_touch,
+                var_card, var_role,
+                K, eq_dtype, all_boolean, hub_chunk)
+        else:
+            ts, ti = _build_tier(
+                t, int(off[t]), int(Bt[t]), C, B, P, DUMMY,
+                up[sel], uf[sel], rloc[sel],
+                f_vids, f_ispos, f_eqpred, f_mask, f_type, f_arity, f_wid,
+                f_feat, f_minpos, f_touch, f_cwbase, f_cwstride,
+                var_card, var_role,
+                A, K, eq_dtype, all_boolean, has_cw,
+                bool(try_band_t[t]), band_tile, band_wmax)
         tiers.append(ts)
         tier_infos.append(ti)
 
@@ -494,6 +540,7 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
         bounds=all(ti.bounds for ti in tier_infos),
         affine2=any(ti.affine2 for ti in tier_infos),
         affinek=any(ti.affinek for ti in tier_infos),
+        has_hub=n_hub > 0,
         has_sparse_cw=has_cw,
         tiers=tuple(tier_infos),
     )
@@ -760,12 +807,159 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
         cs_cka=cs_cka, cs_ckb=cs_ckb, bd_eqo=bd_eqo, bd_eqn=bd_eqn,
         cm_kmask=cm_kmask, cm_resample=cm_resample,
         cm_resample_ev=cm_resample_ev,
+        hb_row=np.zeros((C, 1), np.int32),
     )
     ti = TierInfo(
         off=off_t, block=Bt, degree=D, arity=A_t,
         band_w=band_w, band_tb=band_tile if band_w else 0,
         band_k=band_k,
         bounds=bounds, affine2=affine2, affinek=affinek,
+        present_funcs=present_t,
+    )
+    return ts, ti
+
+
+def _build_hub_tier(off_t: int, Bt: int, C: int, B: int, P: int,
+                    DUMMY: int, up, uf, rloc,
+                    f_vids, f_ispos, f_eqpred, f_mask, f_type, f_arity,
+                    f_wid, f_feat, f_minpos, f_touch,
+                    var_card, var_role,
+                    K: int, eq_dtype, all_boolean: bool,
+                    G: int) -> tuple[TierStreams, TierInfo]:
+    """Assemble the chunked-CSR hub tier.
+
+    (up, uf, rloc): this tier's (position, factor, row-in-color-block)
+    incidence pairs.  Records are laid out [C, M, G, A_h]: every chunk of
+    G records belongs to ONE tier-local variable row (hb_row), chunks of a
+    variable are consecutive, pads point at the dummy factor / row Bt.
+    The engine evaluates chunks exactly like dense-tier rows (same stream
+    conventions), then segment-sums chunk contributions to rows.
+    """
+    n = len(uf)
+    A_h = max(int(f_arity[uf].max()) if n else 1, 1)
+    A1 = A_h - 1
+    present_t = (tuple(sorted(int(x) for x in np.unique(f_type[uf])))
+                 if n else ())
+
+    rows_t = (up // B) * Bt + (rloc - off_t)       # [n] in [0, C*Bt)
+    order = np.argsort(rows_t, kind="stable")
+    sp, sf, spos = rows_t[order], uf[order], up[order]
+    starts = np.searchsorted(sp, np.arange(C * Bt))
+    posn = np.arange(n, dtype=np.int64) - starts[sp]
+    ck_in_row = posn // G
+    slot = (posn % G).astype(np.int64)
+    # global chunk ids -> per-color padded chunk index
+    maxck = int(ck_in_row.max()) + 1 if n else 1
+    cuid = sp * maxck + ck_in_row
+    uniq, inv = np.unique(cuid, return_inverse=True)
+    urow = uniq // maxck                            # [n_chunks] in [0,C*Bt)
+    ucol = urow // Bt
+    ckcnt = np.bincount(ucol, minlength=C)
+    M = max(int(ckcnt.max()), 1)
+    ckstart = np.searchsorted(ucol, np.arange(C))
+    ulocal = np.arange(len(uniq)) - ckstart[ucol]   # chunk rank in color
+    # per-record destination (color, local chunk, slot)
+    rcol = ucol[inv]
+    rck = ulocal[inv]
+
+    hb_row = np.full((C, M), Bt, np.int32)          # pad -> dummy row Bt
+    hb_row[ucol, ulocal] = (urow % Bt).astype(np.int32)
+
+    def full(shape, fill, dt):
+        return np.full((C, M, G) + shape, fill, dt)
+
+    cs_nbr = full((A1,), DUMMY, np.int32)
+    cs_ismine = full((A_h,), False, bool)
+    cs_hmask = full((A_h,), False, bool)
+    cs_pos = full((A_h,), False, bool)
+    cs_mask = full((A_h,), False, bool)
+    cs_eq = (np.ones((C, 1, 1, 1), eq_dtype) if all_boolean
+             else full((A_h,), 0, eq_dtype))
+    cs_type = full((), fs.FUNC_AND, np.int8)
+    cs_arity = full((), 1, np.int16)
+    cs_wid = full((), 0, np.int32)
+    cs_feat = full((), 0.0, np.float32)
+    cs_gowner = full((), False, bool)
+    cs_gtouch = full((), False, bool)
+
+    CHUNK = max(1, (1 << 24) // max(A_h, 1))
+    take = np.take_along_axis
+    iota_a = np.arange(A_h, dtype=np.int16)[None, :]
+    for r0 in range(0, n, CHUNK):
+        r1 = min(r0 + CHUNK, n)
+        f = sf[r0:r1]
+        own = spos[r0:r1].astype(np.int32)[:, None]
+        mv = f_vids[f][:, :A_h]                     # [m, A_h]
+        ismine = mv == own
+        ar = f_arity[f]
+        msk = f_mask[f][:, :A_h]
+        hm = (iota_a == ar[:, None] - 1) & msk
+        pos = f_ispos[f][:, :A_h]
+        eq = None if all_boolean else f_eqpred[f][:, :A_h]
+        if A_h == 2:
+            sw = (ismine[:, 0] & ~ismine[:, 1])[:, None]
+
+            def permute(x):
+                return np.where(sw, x[:, ::-1], x)
+        else:
+            perm = np.argsort(ismine, axis=-1, kind="stable")
+
+            def permute(x):
+                return take(x, perm, axis=-1)
+
+        mv_p = permute(mv)
+        ismine_p = permute(ismine)
+        dst = (rcol[r0:r1], rck[r0:r1], slot[r0:r1])
+        cs_nbr[dst] = np.where(ismine_p, np.int32(DUMMY), mv_p)[:, :A1]
+        cs_ismine[dst] = ismine_p
+        cs_hmask[dst] = permute(hm)
+        cs_pos[dst] = permute(pos)
+        cs_mask[dst] = permute(msk)
+        if not all_boolean:
+            cs_eq[dst] = permute(eq)
+        cs_type[dst] = f_type[f]
+        cs_arity[dst] = ar
+        cs_wid[dst] = f_wid[f]
+        cs_feat[dst] = f_feat[f]
+        gown = f_minpos[f] == own[:, 0]
+        cs_gowner[dst] = gown
+        cs_gtouch[dst] = gown & f_touch[f]
+
+    # row-level draw masks (rows off_t..off_t+Bt of each color block)
+    cm_view = lambda a: a[:-1].reshape(C, B)[:, off_t:off_t + Bt]
+    cm_card = cm_view(var_card).copy()
+    cm_role = cm_view(var_role).copy()
+    cm_kmask = np.where(
+        np.arange(K)[None, None, :] < cm_card[:, :, None], 0.0, -1e30
+    ).astype(np.float32)
+    cm_resample = (cm_role == 0) & (cm_card > 1)
+    cm_resample_ev = cm_card > 1
+
+    z32 = np.zeros((C, 1), np.int32)
+    ts = TierStreams(
+        cs_nbr=cs_nbr, cs_ismine=cs_ismine, cs_hmask=cs_hmask,
+        cs_pos=cs_pos, cs_eq=cs_eq, cs_mask=cs_mask,
+        cs_type=cs_type, cs_arity=cs_arity, cs_wid=cs_wid, cs_feat=cs_feat,
+        cs_gowner=cs_gowner, cs_gtouch=cs_gtouch,
+        cs_issparse=np.zeros((C, 1, 1), bool),
+        cs_cwbase=np.zeros((C, 1, 1), np.int32),
+        cs_cwstride=np.zeros((C, 1, 1, 1), np.int32),
+        bd_start=z32, bd_rnbr=np.zeros((C, 1, 1), np.int32),
+        bd_lo=z32, bd_hi=z32,
+        bd_nbr=np.zeros((C, 1, 1, 1), np.int32),
+        ab_a=np.zeros((C, 1, 1), np.float32),
+        ab_b=np.zeros((C, 1, 1), np.float32),
+        cs_cka=np.zeros((C, 1, 1), np.float32),
+        cs_ckb=np.zeros((C, 1, 1), np.float32),
+        bd_eqo=np.zeros((C, 1, 1, 1), np.int32),
+        bd_eqn=np.zeros((C, 1, 1, 1), np.int32),
+        cm_kmask=cm_kmask, cm_resample=cm_resample,
+        cm_resample_ev=cm_resample_ev,
+        hb_row=hb_row,
+    )
+    ti = TierInfo(
+        off=off_t, block=Bt, degree=G, arity=A_h,
+        hub=True, chunks=M, chunk_g=G,
         present_funcs=present_t,
     )
     return ts, ti

@@ -364,9 +364,33 @@ def prepare_fold(dg, weights, info, modes):
     return tuple(fold_one(ts, ti) for ts, ti in zip(dg.tiers, info.tiers))
 
 
+def hub_color_draw(dg, ts, ti, values, weights, key, c, info, modes):
+    """Draw for a chunked-CSR hub tier: evaluate the [C, M, G, A] chunk
+    streams with the SAME dense-tier machinery (a chunk plays the role of
+    a row with D=G incident slots), then segment-sum the per-chunk
+    contributions onto the owning rows (hb_row; pad chunks land in the
+    dropped dummy segment).  Replaces the reference's per-variable CSR
+    walk for power-law head variables (SURVEY.md §3.2, §7 hard-part 2)."""
+    Bh = ti.block
+    row = ts.hb_row[c]                                 # [M]
+    if info.all_boolean and info.max_card == 2:
+        dchunk = color_delta_bool(ts, ti, values, weights, c, info, modes)
+        delta = jax.ops.segment_sum(dchunk, row, num_segments=Bh + 1)[:Bh]
+        u = jax.random.uniform(key, delta.shape, dtype=delta.dtype)
+        return (u < jax.nn.sigmoid(delta)).astype(values.dtype)
+    logits = color_logits_mc(dg, ts, ti, values, weights, c, info, modes)
+    logits = jax.ops.segment_sum(logits, row, num_segments=Bh + 1)[:Bh]
+    masked = logits + ts.cm_kmask[c][:, :, None]
+    g = jax.random.gumbel(key, masked.shape, dtype=masked.dtype)
+    return jnp.argmax(masked + g, axis=1).astype(values.dtype)
+
+
 def color_draw_tier(dg, ts, ti, values, weights, key, c, info,
                     folded_t=None, modes=("off", "off")):
     """Draw new candidate values [B_t, NC] for one tier of color ``c``."""
+    if ti.hub:
+        return hub_color_draw(dg, ts, ti, values, weights, key, c, info,
+                              modes)
     if folded_t is not None and tier_modes(ti, modes)[1] != "off":
         seed = jax.lax.bitcast_convert_type(key, jnp.int32).reshape(-1)[:2]
         D = ts.cs_mask.shape[2]
@@ -678,8 +702,16 @@ def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
                 rn_c = None
             else:
                 bd_c, rn_c = ts.bd_start[0, :1], None
-            own0 = c * gB + ti.off + g * (ti.block // n_graph) + r0
-            own = ds(v_both, (own0, 0), (rc, 2 * NC))
+            if ti.hub:
+                # hub tier: stream rows are CHUNKS; each chunk's own value
+                # is its owning row's (hb_row; pad chunks -> dummy row
+                # ti.block, whose gathered value is masked out by gm)
+                hrow = ds(ts.hb_row, (c, r0), (1, rc))[0]
+                own = v_both[c * gB + ti.off
+                             + jnp.minimum(hrow, ti.block - 1)]
+            else:
+                own0 = c * gB + ti.off + g * (ti.block // n_graph) + r0
+                own = ds(v_both, (own0, 0), (rc, 2 * NC))
             phi, nbrv = _phi_streams(v_both, own, nbr, pos, eq, ismine,
                                      msk, typ, ar, hmask, bd_c, rn_c,
                                      ti, present, modes)

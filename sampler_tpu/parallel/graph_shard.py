@@ -56,6 +56,11 @@ def check_shardable(info, n_graph: int) -> None:
     tiers must keep whole band tiles per shard.  Compile with
     ``compile_graph(g, align=8*n_graph, shards=n_graph)``."""
     for t, ti in enumerate(info.tiers):
+        if ti.hub:
+            raise ValueError(
+                "graph sharding does not support chunked-CSR hub tiers "
+                f"yet (tier {t}); raise compile_graph(hub_cap=...) above "
+                "the max degree, or run without --n_graph_shards")
         if ti.block % n_graph:
             raise ValueError(
                 f"tier {t} block {ti.block} not divisible by graph axis "
