@@ -110,6 +110,15 @@ class TierStreams(NamedTuple):
     bd_eqo: np.ndarray     # int32 [C, ntiles, D*TB, 1] own eq predicate,
     #                        column d-major ([C,1,1,1] when off)
     bd_eqn: np.ndarray     # int32 [C, ntiles, D*TB, 1] neighbor eq pred
+    # fused gradient kernel streams (ops/grad.py; built with affine2 —
+    # pairwise boolean banded tiers; [C,1,1,1] placeholders otherwise).
+    # gd_meta packs the per-record φ sufficient-statistic constants:
+    # o1 | o0<<2 | headpos<<4 | head_own<<5 | hn<<6 | pos_n<<7 | n<<8
+    # | type<<16 (column d-major like bd_eqo)
+    gd_meta: np.ndarray    # int32 [C, ntiles, D*TB, 1]
+    gd_wid: np.ndarray     # int32 [C, ntiles, D*TB, 1] weight id
+    gd_cown: np.ndarray    # f32 [C, ntiles, D*TB, 1] feat * gowner
+    gd_ctch: np.ndarray    # f32 [C, ntiles, D*TB, 1] feat * gtouch
     # precomputed draw masks (runtime comparisons against sliced metadata
     # trigger a pathological Mosaic lowering — ~400x slower — so these are
     # baked at compile time and streamed):
@@ -768,22 +777,47 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
         bd_nbr = np.zeros((C, 1, 1, 1), np.int32)
     if not affine2:
         ab_a = ab_b = np.zeros((C, 1, 1), np.float32)
+    if affine2 or affinek:
+
+        def _colmaj(x):      # [C, Bt, D] -> [C, ntiles, D*TB, 1] d-major
+            return (np.ascontiguousarray(
+                x.reshape(C, ntiles, TB, D).transpose(0, 1, 3, 2))
+                .reshape(C, ntiles, D * TB, 1))
+
     if affinek:
         from .ops.fused import affine_cat
 
         cka, ckb = affine_cat(cs_pos, cs_mask, cs_ismine, cs_hmask,
                               cs_type, present_t)
-
-        def _colmaj(x):      # [C, Bt, D] -> [C, ntiles, D*TB, 1] d-major
-            return (x.reshape(C, ntiles, TB, D).transpose(0, 1, 3, 2)
-                     .reshape(C, ntiles, D * TB, 1).copy())
-
         cs_cka, cs_ckb = cka, ckb
         bd_eqo = _colmaj(cs_eq[..., A_t - 1].astype(np.int32))
         bd_eqn = _colmaj(cs_eq[..., 0].astype(np.int32))
     else:
         cs_cka = cs_ckb = np.zeros((C, 1, 1), np.float32)
         bd_eqo = bd_eqn = np.zeros((C, 1, 1, 1), np.int32)
+    if affine2:
+        # fused-gradient kernel streams (ops/grad.py): φ sufficient-stat
+        # constants per record, packed into one int32, column d-major
+        ownm = cs_ismine & cs_mask
+        o1 = (ownm & cs_pos).sum(-1).astype(np.int32)      # [C, Bt, D]
+        o0 = ownm.sum(-1).astype(np.int32) - o1
+        head_own = (cs_hmask & cs_ismine).any(-1)
+        headpos = (cs_hmask & cs_ismine & cs_pos).any(-1)
+        hn = (cs_hmask & ~cs_ismine)[..., 0]
+        pos_n = cs_pos[..., 0]
+        n_true = cs_arity.astype(np.int32)
+        meta = (o1 | (o0 << 2) | (headpos << 4) | (head_own << 5)
+                | (hn << 6) | (pos_n << 7) | (n_true << 8)
+                | (cs_type.astype(np.int32) << 16))
+        gd_meta = _colmaj(meta.astype(np.int32))
+        gd_wid = _colmaj(cs_wid)
+        gd_cown = _colmaj(np.where(cs_gowner, cs_feat, 0.0)
+                          .astype(np.float32))
+        gd_ctch = _colmaj(np.where(cs_gtouch, cs_feat, 0.0)
+                          .astype(np.float32))
+    else:
+        gd_meta = gd_wid = np.zeros((C, 1, 1, 1), np.int32)
+        gd_cown = gd_ctch = np.zeros((C, 1, 1, 1), np.float32)
 
     # --- draw masks ---------------------------------------------------------
     cm_view = lambda a: a[:-1].reshape(C, B)[:, off_t:off_t + Bt]
@@ -805,6 +839,7 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
         bd_start=bd_start, bd_rnbr=bd_rnbr, bd_lo=bd_lo, bd_hi=bd_hi,
         bd_nbr=bd_nbr, ab_a=ab_a, ab_b=ab_b,
         cs_cka=cs_cka, cs_ckb=cs_ckb, bd_eqo=bd_eqo, bd_eqn=bd_eqn,
+        gd_meta=gd_meta, gd_wid=gd_wid, gd_cown=gd_cown, gd_ctch=gd_ctch,
         cm_kmask=cm_kmask, cm_resample=cm_resample,
         cm_resample_ev=cm_resample_ev,
         hb_row=np.zeros((C, 1), np.int32),
@@ -953,6 +988,10 @@ def _build_hub_tier(off_t: int, Bt: int, C: int, B: int, P: int,
         cs_ckb=np.zeros((C, 1, 1), np.float32),
         bd_eqo=np.zeros((C, 1, 1, 1), np.int32),
         bd_eqn=np.zeros((C, 1, 1, 1), np.int32),
+        gd_meta=np.zeros((C, 1, 1, 1), np.int32),
+        gd_wid=np.zeros((C, 1, 1, 1), np.int32),
+        gd_cown=np.zeros((C, 1, 1, 1), np.float32),
+        gd_ctch=np.zeros((C, 1, 1, 1), np.float32),
         cm_kmask=cm_kmask, cm_resample=cm_resample,
         cm_resample_ev=cm_resample_ev,
         hb_row=hb_row,

@@ -671,6 +671,25 @@ def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
         C, Bl, D, A = ts.cs_mask.shape       # Bl = local tier rows
         A1 = A - 1
         present = ti.present_funcs or info.present_funcs
+        band = tier_modes(ti, modes)[0]
+        if (ti.affine2 and W <= 64 and band in ("pallas", "interpret")
+                and not info.has_sparse_cw and n_graph == 1
+                and row_chunk is None):
+            # fused gradient kernel (ops/grad.py): whole per-tile
+            # evaluation in VMEM, [ntiles, 128] partials out — the XLA
+            # chunked path below was 50.6% of a learning epoch on its
+            # HBM temporaries (LEARN_PROFILE.json round-3 bound)
+            from ..ops.grad import grad_pair_tile
+
+            coefsrc = ts.gd_cown if learn_non_evidence else ts.gd_ctch
+            for c in range(C):
+                parts = grad_pair_tile(
+                    v_both, ts.bd_nbr[c], ts.bd_start[c], ts.gd_meta[c],
+                    ts.gd_wid[c], coefsrc[c], own0=c * gB + ti.off,
+                    W=ti.band_w, TB=ti.band_tb, D=D, n_weights=W,
+                    present=present, interpret=(band == "interpret"))
+                grad = grad + jnp.sum(parts, axis=0)[:W] / NC
+            continue
         rc = row_chunk or _grad_row_chunk(ti, Bl, D, A, 2 * NC)
         rc = min(rc, Bl)
         if Bl % rc:

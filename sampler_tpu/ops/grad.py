@@ -1,0 +1,204 @@
+"""Fused gradient kernel: one Pallas pass per (color, tier) that computes
+the contrastive-SGD weight gradient's per-weight partial sums.
+
+LEARN_PROFILE.json round-3: the cs-stream gradient was 50.6% of a learning
+epoch — one 2NC-wide banded gather plus counts-φ over every incidence row,
+with the [rows, D, NC] temporaries flowing through HBM between XLA ops.
+This kernel keeps the whole evaluation in VMEM per tile: window DMA +
+one-hot MXU gather + counts-φ + signed lane-reduce + per-weight masked
+accumulation, emitting only [ntiles, 128] partial sums.  Applicable to the
+same tiers as the fused affine draw (pairwise boolean, single-window
+banding) with a small weight table (owner-coefficient streams gd_* are
+built at compile time alongside ab_a/ab_b).
+
+Reference behavior replaced: the gradient accumulation of
+sample_sgd_single_variable (SURVEY.md §3.3) — φ(evidence) − φ(free) summed
+per weight over the factors each variable visit touches, owner-deduplicated
+here so every factor counts once per sweep.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+from .. import format_spec as fs
+
+GRAD_W_MAX = 64          # in-kernel weight-loop bound (small-W graphs)
+
+
+def _phi_counts_jnp(nlit, head, n, f_type, present):
+    """jnp twin of engine._phi_from_counts, local to avoid an import cycle
+    (engine.multichain imports ops.* at module level)."""
+    import jax.numpy as jnp
+
+    f32 = jnp.float32
+    if head is not None:
+        headi = head.astype(jnp.int32)
+        nbody = nlit - headi
+        n_body = jnp.maximum(n - 1, 0)
+
+    def variant(t):
+        if t in (fs.FUNC_AND, fs.FUNC_AND_CATEGORICAL,
+                 fs.FUNC_IMPLY_NATURAL):
+            return (nlit == n).astype(f32)
+        if t == fs.FUNC_OR:
+            return (nlit > 0).astype(f32)
+        if t == fs.FUNC_EQUAL:
+            return ((nlit == 0) | (nlit == n)).astype(f32)
+        if t == fs.FUNC_ISTRUE:
+            return head.astype(f32)
+        if t == fs.FUNC_IMPLY_MLN:
+            return jnp.where(nbody < n_body, 1.0, head.astype(f32))
+        lin = jnp.where(head, n_body, n_body - nbody).astype(f32)
+        lin = jnp.where(n == 1, head.astype(f32), lin)
+        if t == fs.FUNC_LINEAR:
+            return lin
+        if t == fs.FUNC_RATIO:
+            return jnp.log1p(lin)
+        if t == fs.FUNC_LOGICAL:
+            return (lin > 0).astype(f32)
+        raise ValueError(f"unknown factor function type {t}")
+
+    if len(present) == 1:
+        return variant(present[0])
+    conds = [f_type == t for t in present]
+    vals = [variant(t) for t in present]
+    zero = jnp.zeros_like(vals[0])
+    return jnp.select(conds, vals, default=zero)
+
+
+def _need_head(present) -> bool:
+    return any(t in present for t in (
+        fs.FUNC_ISTRUE, fs.FUNC_IMPLY_MLN, fs.FUNC_LINEAR, fs.FUNC_RATIO,
+        fs.FUNC_LOGICAL))
+
+
+def _grad_kernel(starts_ref, own0_ref, nbr_ref, meta_ref, wid_ref,
+                 coef_ref, values_ref, out_ref, win_ref, own_ref, sems,
+                 *, W: int, TB: int, D: int, NW: int, NC2: int,
+                 present: tuple, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = pl.program_id(0)
+    start = pl.multiple_of(starts_ref[t], 256)
+    cp_w = pltpu.make_async_copy(
+        values_ref.at[pl.ds(start, W), :], win_ref, sems.at[0])
+    cp_w.start()
+    own_start = own0_ref[0] + t * TB
+    cp_o = pltpu.make_async_copy(
+        values_ref.at[pl.ds(own_start, TB), :], own_ref, sems.at[1])
+    cp_o.start()
+
+    R = D * TB
+    il = nbr_ref[0] - start                                # [1, R]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
+    oh = (il == iota_w).astype(jnp.int8)
+    cp_w.wait()
+    gath = jax.lax.dot_general(
+        oh, win_ref[:].astype(jnp.int8),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                  # [R, NC2]
+    cp_o.wait()
+
+    meta = meta_ref[0]                                     # [R, 1] packed
+    o1 = meta & 3
+    o0 = (meta >> 2) & 3
+    headpos = ((meta >> 4) & 1) == 1
+    head_own = ((meta >> 5) & 1) == 1
+    hn = ((meta >> 6) & 1) == 1
+    pos_n = ((meta >> 7) & 1) == 1
+    n_true = (meta >> 8) & 0xFF
+    f_type = (meta >> 16) & 0xFF
+    coef = coef_ref[0]                                     # [R, 1] f32
+    wid = wid_ref[0]                                       # [R, 1] int32
+
+    vown = own_ref[:].astype(jnp.int32)                    # [TB, NC2]
+    # lane sign: +1 on the evidence half, -1 on the free half
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, NC2), 1)
+    sgn = jnp.where(lane < NC2 // 2, jnp.float32(1.0), jnp.float32(-1.0))
+
+    need_head = _need_head(present)
+    accs = [jnp.zeros((TB, 1), jnp.float32) for _ in range(NW)]
+    for d in range(D):                                     # static unroll
+        sl = slice(d * TB, (d + 1) * TB)
+        v_n = gath[sl]                                     # [TB, NC2]
+        nlit = ((v_n == 1) == pos_n[sl]).astype(jnp.int32)
+        v1 = vown == 1
+        nown = jnp.where(v1, o1[sl], o0[sl])
+        if need_head:
+            hl = ((v_n == 1) == pos_n[sl]) & hn[sl]
+            head = jnp.where(head_own[sl],
+                             jnp.where(v1, headpos[sl], ~headpos[sl]), hl)
+        else:
+            head = None
+        phi = _phi_counts_jnp(nlit + nown, head, n_true[sl], f_type[sl],
+                              present)                     # [TB, NC2]
+        srow = jnp.sum(phi * sgn, axis=1, keepdims=True)   # [TB, 1]
+        srow = srow * coef[sl]
+        wd = wid[sl]
+        for w in range(NW):
+            accs[w] = accs[w] + jnp.where(wd == w, srow, 0.0)
+
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    out = jnp.zeros((1, 128), jnp.float32)
+    for w in range(NW):
+        out = out + jnp.where(iota_l == w, jnp.sum(accs[w]), 0.0)
+    out_ref[:] = out
+
+
+def grad_pair_tile(v_both, nbr_dmaj, starts, meta, wid, coef, own0: int,
+                   W: int, TB: int, D: int, n_weights: int,
+                   present: tuple, interpret: bool = False):
+    """Per-tile gradient partials for one (color, tier).
+
+    v_both [P, 2NC] int8 (evidence ‖ free worlds on the lane axis);
+    nbr_dmaj [ntiles, 1, D*TB] int32 global positions; starts [ntiles];
+    meta/wid [ntiles, D*TB, 1] int32; coef [ntiles, D*TB, 1] f32
+    (feat * owner-mask); own0 = first own row of this color's tier
+    segment.  Returns [ntiles, 128] f32 — sum over tiles then take
+    [:n_weights] and divide by NC outside."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert n_weights <= GRAD_W_MAX
+    ntiles = nbr_dmaj.shape[0]
+    R = D * TB
+    P, NC2 = v_both.shape
+    kern = partial(_grad_kernel, W=W, TB=TB, D=D, NW=n_weights, NC2=NC2,
+                   present=tuple(present), interpret=interpret)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # nbr
+            pl.BlockSpec((1, R, 1), lambda t, s, z: (t, 0, 0)),   # meta
+            pl.BlockSpec((1, R, 1), lambda t, s, z: (t, 0, 0)),   # wid
+            pl.BlockSpec((1, R, 1), lambda t, s, z: (t, 0, 0)),   # coef
+            pl.BlockSpec(memory_space=pl.ANY),                    # v_both
+        ],
+        out_specs=pl.BlockSpec((1, 128), lambda t, s, z: (t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((W, NC2), v_both.dtype),
+            pltpu.VMEM((TB, NC2), v_both.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    from .banded import out_vma
+
+    own0_arr = jnp.full((1,), own0, jnp.int32)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (ntiles, 128), jnp.float32,
+            vma=out_vma(v_both, nbr_dmaj, starts, meta, wid, coef)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ntiles * R * W * NC2,
+            transcendentals=0,
+            bytes_accessed=int(ntiles * (R * 16 + (W + TB) * NC2 + 512))),
+        interpret=interpret,
+    )(starts, own0_arr, nbr_dmaj, meta, wid, coef, v_both)
