@@ -126,6 +126,54 @@ def bench_class(make_graph, label, n_chains, inner, outer):
     return rate, modes
 
 
+def bench_kbc(n_chains, inner, outer):
+    """The workload class the reference actually serves (SURVEY.md §7
+    hard-part 2): a power-law KBC graph — skewed degrees (hub tier),
+    document-locality windows, greedy balanced coloring, RCM ordering,
+    mixed arities/factor types, 1e5 shared weights — end-to-end through
+    run_inference_mc."""
+    from sampler_tpu.benchgraphs import random_kbc_graph
+    from sampler_tpu.coloring import greedy_coloring, rcm_order
+    from sampler_tpu.compile import compile_graph, to_device
+    from sampler_tpu.engine.multichain import resolve_modes
+
+    # 5e5 vars: the largest KBC size that fits this chip TODAY — XLA tile
+    # padding expands the [C, B, D, A]-shaped stream temps by 128/A (~43-64x)
+    # in the plain-gather program (a 1e6-var run OOM'd 16 GB HBM on a 3.19 GB
+    # padded temp of a 51 MB array).  Fixing the at-rest layout (flat [C, N]
+    # streams) is the known next step; see README "Limits".
+    n_vars = int(os.environ.get("BENCH_KBC_VARS", "500000"))
+    n_fac = 3 * n_vars
+    g = random_kbc_graph(n_vars, n_fac, max_arity=3, n_weights=100_000,
+                         seed=0, skew=1.1, window=2000)
+    colors = greedy_coloring(g)
+    order = rcm_order(g)
+    dg, info = compile_graph(g, colors=colors, order=order,
+                             band_wmax=32768)
+    dgj = to_device(dg)
+    modes = resolve_modes(info)
+    band_k = max((ti.band_k for ti in info.tiers), default=0)
+    if band_k < 2:
+        # why the multi-window banded gather is off: the balanced greedy
+        # coloring needs ~20 colors here, so each tile's neighbor reads
+        # spread over more source color-blocks than the kernel's window
+        # budget (plan_banding_multi k_max) — the plain row gather runs,
+        # amortized over the chain lanes
+        sys.stderr.write(
+            f"kbc: band_k={band_k} (multi-window off: {info.n_colors} "
+            f"colors exceed the per-tile window budget)\n")
+    rate, compile_s, dt = bench_inference(dgj, info, modes, n_chains,
+                                          inner, outer)
+    sys.stderr.write(
+        f"kbc {n_vars} vars: V={info.n_vars} colors={info.n_colors} "
+        f"tiers={len(info.tiers)} hub={info.has_hub} chains={n_chains} "
+        f"sweeps={inner}x{outer} modes={modes} compile={compile_s:.1f}s "
+        f"run={dt:.3f}s rate={rate:.3e}/s "
+        f"{'PASS' if rate >= 1e9 else 'FAIL'} vs 1e9 north-star\n")
+    del dgj
+    return rate, modes
+
+
 def main():
     from sampler_tpu.benchgraphs import (big_ising_grid, big_potts_grid,
                                          big_triple_grid)
@@ -177,6 +225,13 @@ def main():
         lambda: big_triple_grid(t_grid, t_grid),
         f"arity3 {t_grid}x{t_grid}", t_chains, inner, outer)
 
+    # the irregular KBC class (VERDICT r3 #4): skew + window + hub tier +
+    # RCM on the chip, through the same shipped inference path
+    k_chains = int(os.environ.get("BENCH_KBC_CHAINS", "128"))
+    k_inner = int(os.environ.get("BENCH_KBC_INNER", "5"))
+    k_outer = int(os.environ.get("BENCH_KBC_OUTER", "2"))
+    kbc_rate, kbc_modes = bench_kbc(k_chains, k_inner, k_outer)
+
     print(json.dumps({
         "metric": "variable_updates_per_s",
         "value": rate,
@@ -189,6 +244,8 @@ def main():
         "categorical_modes": list(cat_modes),
         "arity3_updates_per_s": tri_rate,
         "arity3_modes": list(tri_modes),
+        "kbc_updates_per_s": kbc_rate,
+        "kbc_modes": list(kbc_modes),
     }))
 
 

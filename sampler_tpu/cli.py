@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max banded-gather window width (positions); raise "
                         "for wide graphs (e.g. 16384 for a 10^4-column "
                         "grid) so the MXU gather + halo exchange stay on")
+    g.add_argument("--hub_cap", type=int, default=2048,
+                   help="variables with more incident factors than this go "
+                        "to the chunked-CSR hub tier (power-law heads); "
+                        "not compatible with --n_graph_shards yet")
+    g.add_argument("--hub_chunk", type=int, default=512,
+                   help="records per hub-tier chunk")
     g.add_argument("--n_graph_shards", type=int, default=1,
                    help="shard the graph streams over this many devices "
                         "(model parallelism for >HBM graphs); the remaining "
@@ -129,7 +135,9 @@ def cmd_gibbs(args) -> int:
         order = rcm_order(graph)
     dg, info = compile_graph(graph, align=8 * n_graph,
                              band_wmax=args.band_wmax, shards=n_graph,
-                             max_tiers=args.max_tiers, order=order)
+                             max_tiers=args.max_tiers, order=order,
+                             hub_cap=args.hub_cap,
+                             hub_chunk=args.hub_chunk)
     dgj = to_device(dg)
     log(f"compiled: {info.n_colors} colors, block {info.block_size}, "
         f"degree {info.max_degree}, arity {info.max_arity}, "

@@ -24,4 +24,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache for the suite: jit compiles dominate its wall
+# clock (~2/3 of the 12-19 min full run), and the programs are identical
+# across runs.  Set via the ENV VAR (not only jax.config) so the CLI
+# kill/resume tests' subprocesses inherit it too.
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache_cpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

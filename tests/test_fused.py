@@ -85,21 +85,24 @@ def test_fused_draw_bernoulli_rate_and_determinism():
     nbr = jnp.zeros((ntiles, 1, D * TB), jnp.int32)
     starts = jnp.zeros((ntiles,), jnp.int32)
     beta = jnp.zeros((ntiles, 1, D * TB), jnp.float32)
-    for p_target in (0.25, 0.5, 0.9):
+    # 12 draws x 2048 samples per target keeps the rate s.e. ~0.003 while
+    # cutting ~100 interpret-mode kernel dispatches (suite wall clock,
+    # VERDICT r3 #9)
+    for p_target in (0.25, 0.9):
         logit = float(np.log(p_target / (1 - p_target)))
         base = jnp.full((ntiles, TB, 1), logit, jnp.float32)
         draw = lambda s: fused_color_draw(
             values, nbr, starts, beta, base, jnp.asarray([s, s ^ 77],
                                                          jnp.int32),
             W, TB, D, interpret=True)
-        outs = np.stack([np.asarray(draw(s)) for s in range(40)])
+        outs = np.stack([np.asarray(draw(s)) for s in range(12)])
         rate = outs.mean()
         assert abs(rate - p_target) < 0.02, (p_target, rate)
         np.testing.assert_array_equal(np.asarray(draw(5)),
                                       np.asarray(draw(5)))
         assert (np.asarray(draw(5)) != np.asarray(draw(6))).any()
         # tiles must not share one RNG stream
-        per_tile = outs.reshape(40, ntiles, TB, NC)
+        per_tile = outs.reshape(12, ntiles, TB, NC)
         assert not np.array_equal(per_tile[:, 0], per_tile[:, 1])
 
 

