@@ -104,21 +104,24 @@ class TierStreams(NamedTuple):
     ab_a: np.ndarray       # f32 [C, B, D] delta-phi intercept ([C,1,1] off)
     ab_b: np.ndarray       # f32 [C, B, D] delta-phi slope in neighbor value
     # K-candidate fused color step (ops/fused.py; TierInfo.affinek —
-    # categorical/mixed arity<=2 tiers; placeholders when off):
+    # categorical/mixed arity<=2 tiers; placeholders when off).  Kernel
+    # streams are stored ROW-major d-major [C, ntiles, 1, D*TB] — a
+    # trailing dim of 1 would tile-pad 1 -> 128 lanes in HBM (128x memory);
+    # kernels transpose rows to columns in VMEM instead.
     cs_cka: np.ndarray     # f32 [C, B, D] pre-weight candidate coefficient
     cs_ckb: np.ndarray     # f32 [C, B, D] pre-weight e-slope coefficient
-    bd_eqo: np.ndarray     # int32 [C, ntiles, D*TB, 1] own eq predicate,
-    #                        column d-major ([C,1,1,1] when off)
-    bd_eqn: np.ndarray     # int32 [C, ntiles, D*TB, 1] neighbor eq pred
+    bd_eqo: np.ndarray     # int32 [C, ntiles, 1, D*TB] own eq predicate
+    #                        ([C,1,1,1] when off)
+    bd_eqn: np.ndarray     # int32 [C, ntiles, 1, D*TB] neighbor eq pred
     # fused gradient kernel streams (ops/grad.py; built with affine2 —
     # pairwise boolean banded tiers; [C,1,1,1] placeholders otherwise).
     # gd_meta packs the per-record φ sufficient-statistic constants:
     # o1 | o0<<2 | headpos<<4 | head_own<<5 | hn<<6 | pos_n<<7 | n<<8
-    # | type<<16 (column d-major like bd_eqo)
-    gd_meta: np.ndarray    # int32 [C, ntiles, D*TB, 1]
-    gd_wid: np.ndarray     # int32 [C, ntiles, D*TB, 1] weight id
-    gd_cown: np.ndarray    # f32 [C, ntiles, D*TB, 1] feat * gowner
-    gd_ctch: np.ndarray    # f32 [C, ntiles, D*TB, 1] feat * gtouch
+    # | type<<16 (row d-major like bd_eqo)
+    gd_meta: np.ndarray    # int32 [C, ntiles, 1, D*TB]
+    gd_wid: np.ndarray     # int32 [C, ntiles, 1, D*TB] weight id
+    gd_cown: np.ndarray    # f32 [C, ntiles, 1, D*TB] feat * gowner
+    gd_ctch: np.ndarray    # f32 [C, ntiles, 1, D*TB] feat * gtouch
     # precomputed draw masks (runtime comparisons against sliced metadata
     # trigger a pathological Mosaic lowering — ~400x slower — so these are
     # baked at compile time and streamed):
@@ -779,10 +782,10 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
         ab_a = ab_b = np.zeros((C, 1, 1), np.float32)
     if affine2 or affinek:
 
-        def _colmaj(x):      # [C, Bt, D] -> [C, ntiles, D*TB, 1] d-major
+        def _rowmaj(x):      # [C, Bt, D] -> [C, ntiles, 1, D*TB] d-major
             return (np.ascontiguousarray(
                 x.reshape(C, ntiles, TB, D).transpose(0, 1, 3, 2))
-                .reshape(C, ntiles, D * TB, 1))
+                .reshape(C, ntiles, 1, D * TB))
 
     if affinek:
         from .ops.fused import affine_cat
@@ -790,8 +793,8 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
         cka, ckb = affine_cat(cs_pos, cs_mask, cs_ismine, cs_hmask,
                               cs_type, present_t)
         cs_cka, cs_ckb = cka, ckb
-        bd_eqo = _colmaj(cs_eq[..., A_t - 1].astype(np.int32))
-        bd_eqn = _colmaj(cs_eq[..., 0].astype(np.int32))
+        bd_eqo = _rowmaj(cs_eq[..., A_t - 1].astype(np.int32))
+        bd_eqn = _rowmaj(cs_eq[..., 0].astype(np.int32))
     else:
         cs_cka = cs_ckb = np.zeros((C, 1, 1), np.float32)
         bd_eqo = bd_eqn = np.zeros((C, 1, 1, 1), np.int32)
@@ -809,11 +812,11 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
         meta = (o1 | (o0 << 2) | (headpos << 4) | (head_own << 5)
                 | (hn << 6) | (pos_n << 7) | (n_true << 8)
                 | (cs_type.astype(np.int32) << 16))
-        gd_meta = _colmaj(meta.astype(np.int32))
-        gd_wid = _colmaj(cs_wid)
-        gd_cown = _colmaj(np.where(cs_gowner, cs_feat, 0.0)
+        gd_meta = _rowmaj(meta.astype(np.int32))
+        gd_wid = _rowmaj(cs_wid)
+        gd_cown = _rowmaj(np.where(cs_gowner, cs_feat, 0.0)
                           .astype(np.float32))
-        gd_ctch = _colmaj(np.where(cs_gtouch, cs_feat, 0.0)
+        gd_ctch = _rowmaj(np.where(cs_gtouch, cs_feat, 0.0)
                           .astype(np.float32))
     else:
         gd_meta = gd_wid = np.zeros((C, 1, 1, 1), np.int32)

@@ -186,7 +186,7 @@ def affine_cat(cs_pos, cs_mask, cs_ismine, cs_hmask, cs_type, present=None):
 
 
 def fold_affine_cat(ts, weights, band_tb: int):
-    """(av, bv) column-d-major [C, ntiles, D*TB, 1] float32 for one tier's
+    """(av, bv) row-d-major [C, ntiles, 1, D*TB] float32 for one tier's
     K-candidate fused step: the compile-time (a, b) coefficients scaled by
     wf = weights[wid]*feat.  Called once per weights value (outside the
     sweep loops)."""
@@ -201,11 +201,11 @@ def fold_affine_cat(ts, weights, band_tb: int):
     TB = band_tb
     nt = B // TB
 
-    def col(x):
+    def row(x):
         return (x.reshape(C, nt, TB, D).transpose(0, 1, 3, 2)
-                 .reshape(C, nt, D * TB, 1))
+                 .reshape(C, nt, 1, D * TB))
 
-    return col(av), col(bv)
+    return row(av), row(bv)
 
 
 def fused_mode() -> str:
@@ -418,9 +418,14 @@ def _cat_kernel(starts_ref, seed_ref, nbr_ref, eqo_ref, eqn_ref, av_ref,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)              # [R, NC] gathered
     NC = acc.shape[-1]
-    e = (acc == eqn_ref[0]).astype(jnp.float32)        # [R, NC]
-    contrib = av_ref[0] + bv_ref[0] * e                # [R, NC]
-    eqo = eqo_ref[0]                                   # [R, 1]
+    # streams arrive as [1, R] rows (a [.., R, 1] HBM array would tile-pad
+    # its trailing 1 to 128 lanes); transpose to columns once in VMEM
+    eqn = eqn_ref[0].reshape(R, 1)
+    av = av_ref[0].reshape(R, 1)
+    bv = bv_ref[0].reshape(R, 1)
+    eqo = eqo_ref[0].reshape(R, 1)
+    e = (acc == eqn).astype(jnp.float32)               # [R, NC]
+    contrib = av + bv * e                              # [R, NC]
 
     best = None
     best_k = jnp.zeros((TB, NC), jnp.int32)
@@ -460,8 +465,8 @@ def fused_cat_draw(values, nbr_dmaj, starts, eqo, eqn, av, bv, kmask, seed,
 
     values [P, NC] int dtype; nbr_dmaj [ntiles, 1, D*TB] int32 global
     positions (d-major); starts [ntiles] int32 window DMA starts;
-    eqo/eqn [ntiles, D*TB, 1] int32 own-candidate / neighbor equality
-    predicates (column d-major); av/bv [ntiles, D*TB, 1] f32 folded
+    eqo/eqn [ntiles, 1, D*TB] int32 own-candidate / neighbor equality
+    predicates (row d-major); av/bv [ntiles, 1, D*TB] f32 folded
     coefficients; kmask [ntiles, TB, K] f32 (0 or -1e30 for k >= card);
     seed int32[2].  Returns drawn values [ntiles*TB, NC]."""
     import jax
@@ -477,10 +482,10 @@ def fused_cat_draw(values, nbr_dmaj, starts, eqo, eqn, av, bv, kmask, seed,
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # nbr
-            pl.BlockSpec((1, R, 1), lambda t, s, z: (t, 0, 0)),   # eqo
-            pl.BlockSpec((1, R, 1), lambda t, s, z: (t, 0, 0)),   # eqn
-            pl.BlockSpec((1, R, 1), lambda t, s, z: (t, 0, 0)),   # av
-            pl.BlockSpec((1, R, 1), lambda t, s, z: (t, 0, 0)),   # bv
+            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # eqo
+            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # eqn
+            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # av
+            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # bv
             pl.BlockSpec((1, TB, K), lambda t, s, z: (t, 0, 0)),  # kmask
             pl.BlockSpec(memory_space=pl.ANY),                    # values
         ],

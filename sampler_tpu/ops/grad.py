@@ -102,7 +102,9 @@ def _grad_kernel(starts_ref, own0_ref, nbr_ref, meta_ref, wid_ref,
         preferred_element_type=jnp.int32)                  # [R, NC2]
     cp_o.wait()
 
-    meta = meta_ref[0]                                     # [R, 1] packed
+    # streams arrive as [1, R] rows (a [.., R, 1] HBM array would tile-pad
+    # its trailing 1 to 128 lanes); transpose to columns once in VMEM
+    meta = meta_ref[0].reshape(R, 1)                       # packed consts
     o1 = meta & 3
     o0 = (meta >> 2) & 3
     headpos = ((meta >> 4) & 1) == 1
@@ -111,8 +113,8 @@ def _grad_kernel(starts_ref, own0_ref, nbr_ref, meta_ref, wid_ref,
     pos_n = ((meta >> 7) & 1) == 1
     n_true = (meta >> 8) & 0xFF
     f_type = (meta >> 16) & 0xFF
-    coef = coef_ref[0]                                     # [R, 1] f32
-    wid = wid_ref[0]                                       # [R, 1] int32
+    coef = coef_ref[0].reshape(R, 1)                       # f32
+    wid = wid_ref[0].reshape(R, 1)                         # int32
 
     vown = own_ref[:].astype(jnp.int32)                    # [TB, NC2]
     # lane sign: +1 on the evidence half, -1 on the free half
@@ -155,8 +157,8 @@ def grad_pair_tile(v_both, nbr_dmaj, starts, meta, wid, coef, own0: int,
 
     v_both [P, 2NC] int8 (evidence ‖ free worlds on the lane axis);
     nbr_dmaj [ntiles, 1, D*TB] int32 global positions; starts [ntiles];
-    meta/wid [ntiles, D*TB, 1] int32; coef [ntiles, D*TB, 1] f32
-    (feat * owner-mask); own0 = first own row of this color's tier
+    meta/wid [ntiles, 1, D*TB] int32; coef [ntiles, 1, D*TB] f32
+    (feat * owner-mask; row d-major); own0 = first own row of this color's tier
     segment.  Returns [ntiles, 128] f32 — sum over tiles then take
     [:n_weights] and divide by NC outside."""
     import jax
@@ -175,9 +177,9 @@ def grad_pair_tile(v_both, nbr_dmaj, starts, meta, wid, coef, own0: int,
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # nbr
-            pl.BlockSpec((1, R, 1), lambda t, s, z: (t, 0, 0)),   # meta
-            pl.BlockSpec((1, R, 1), lambda t, s, z: (t, 0, 0)),   # wid
-            pl.BlockSpec((1, R, 1), lambda t, s, z: (t, 0, 0)),   # coef
+            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # meta
+            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # wid
+            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # coef
             pl.BlockSpec(memory_space=pl.ANY),                    # v_both
         ],
         out_specs=pl.BlockSpec((1, 128), lambda t, s, z: (t, 0)),

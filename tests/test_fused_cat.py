@@ -50,7 +50,7 @@ def test_affinek_fold_matches_general_logits():
     K = info.max_card
 
     folded = prepare_fold(dgj, w, info, ("off", "interpret"))
-    av, bv = folded[0]                      # [C, nt, R, 1] column d-major
+    av, bv = folded[0]                      # [C, nt, 1, R] row d-major
 
     rng = np.random.default_rng(0)
     NC = 3
@@ -64,11 +64,13 @@ def test_affinek_fold_matches_general_logits():
     for c in range(C):
         gathered = values[np.asarray(dg.tiers[0].bd_nbr[c])[:, 0]]
         #           [nt, D*TB, NC] via global positions (d-major)
-        e = (gathered.astype(jnp.int32)
-             == dgj.tiers[0].bd_eqn[c]).astype(jnp.float32)
-        contrib = av[c] + bv[c] * e         # [nt, R, NC]
-        eqo = dgj.tiers[0].bd_eqo[c]        # [nt, R, 1]
-        nt = contrib.shape[0]
+        nt = gathered.shape[0]
+        R = gathered.shape[1]
+        eqn = dgj.tiers[0].bd_eqn[c].reshape(nt, R, 1)
+        e = (gathered.astype(jnp.int32) == eqn).astype(jnp.float32)
+        contrib = (av[c].reshape(nt, R, 1)
+                   + bv[c].reshape(nt, R, 1) * e)   # [nt, R, NC]
+        eqo = dgj.tiers[0].bd_eqo[c].reshape(nt, R, 1)
         lcat = []
         for k in range(K):
             mk = jnp.where(eqo == k, contrib, 0.0)
