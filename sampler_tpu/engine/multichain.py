@@ -495,7 +495,9 @@ def _run_inference_mc(dg, values, weights, key, n_sweeps: int,
     # derive the zero init from `values` so its varying-axis type matches
     # under shard_map (plain zeros would be 'unvarying' and break scan)
     counts0 = jnp.tile(values[:, :1].astype(jnp.int32) * 0, (1, K))
-    ks = jnp.arange(K, dtype=jnp.int32)
+    # compare in the values dtype: vals.astype(int32) materialized a full
+    # [P, NC] s32 temp (12.5 GB at 2.6e7 vars — OOM'd the 5120^2 scale run)
+    ks = jnp.arange(K, dtype=values.dtype)
     folded = prepare_fold(dg, weights, info, modes)
 
     def body(carry, i):
@@ -503,7 +505,7 @@ def _run_inference_mc(dg, values, weights, key, n_sweeps: int,
         k = jax.random.fold_in(key, i)
         vals = sweep_mc(dg, vals, weights, k, sample_evidence, info, folded,
                         modes)
-        onehot = (vals.astype(jnp.int32)[:, None, :] == ks[None, :, None])
+        onehot = (vals[:, None, :] == ks[None, :, None])
         counts = counts + jnp.sum(onehot, axis=-1, dtype=jnp.int32)
         return (vals, counts), None
 

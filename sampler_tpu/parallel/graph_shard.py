@@ -353,7 +353,9 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
 
             K = info.max_card
             counts0 = jnp.tile(vals[:1, :1].astype(jnp.int32) * 0, (Pv, K))
-            ks = jnp.arange(K, dtype=jnp.int32)
+            # values-dtype compare: an int32 convert of the whole world
+            # materializes a [P, NC] s32 temp (OOM at 2.6e7 vars)
+            ks = jnp.arange(K, dtype=vals.dtype)
             if halo is not None:
                 # stale-region safety: tallies count OWN rows only; the
                 # psum over graph then assembles disjoint contributions
@@ -368,8 +370,7 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
                 vals = sweep_gs(dg_l, vals, w, kk, sample_evidence, info,
                                 n_graph, modes, halo, folded)
                 tally = jnp.where(i >= n_burn, 1, 0)
-                onehot = (vals[:Pv].astype(jnp.int32)[:, None, :]
-                          == ks[None, :, None])
+                onehot = (vals[:Pv, None, :] == ks[None, :, None])
                 oh = jnp.sum(onehot, axis=-1, dtype=jnp.int32)
                 counts = counts + tally * jnp.where(rowmask, oh, 0)
                 return (vals, counts), None
