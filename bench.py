@@ -202,35 +202,52 @@ def main():
         f"run={dt:.3f}s rate={rate:.3e}/s device={jax.devices()[0]}\n")
 
     del dgj
-    lrate_sweeps, lrate_upd, lcompile_s, ldt = bench_learning(
-        g, colors, modes, l_chains, l_epochs, l_sweeps, l_outer)
-    sys.stderr.write(
-        f"learning: chains={l_chains} sweeps={l_epochs * l_sweeps}x{l_outer} "
-        f"compile={lcompile_s:.1f}s run={ldt:.3f}s "
-        f"rate={lrate_sweeps:.2f} sweeps/s ({lrate_upd:.3e} updates/s)\n")
+    try:
+        lrate_sweeps, lrate_upd, lcompile_s, ldt = bench_learning(
+            g, colors, modes, l_chains, l_epochs, l_sweeps, l_outer)
+        sys.stderr.write(
+            f"learning: chains={l_chains} "
+            f"sweeps={l_epochs * l_sweeps}x{l_outer} "
+            f"compile={lcompile_s:.1f}s run={ldt:.3f}s "
+            f"rate={lrate_sweeps:.2f} sweeps/s ({lrate_upd:.3e} "
+            f"updates/s)\n")
+    except Exception as e:                          # noqa: BLE001
+        sys.stderr.write(f"learning: FAILED {type(e).__name__}: "
+                         f"{str(e)[:200]}\n")
+        lrate_sweeps = lrate_upd = None
 
     # the other BASELINE config classes (VERDICT r2 #3): categorical
     # domains (configs[2] shape, general [B,D,K,A,NC] path) and arity-3
     # boolean — both through the shipped run_inference_mc
+    def guarded(label, fn):
+        """One class crashing (OOM/lowering) must not void the artifact."""
+        try:
+            return fn()
+        except Exception as e:                      # noqa: BLE001
+            sys.stderr.write(f"{label}: FAILED {type(e).__name__}: "
+                             f"{str(e)[:200]}\n")
+            return None, ("error",)
+
     c_grid = int(os.environ.get("BENCH_CAT_GRID", "512"))
     c_card = int(os.environ.get("BENCH_CAT_CARD", "4"))
     c_chains = int(os.environ.get("BENCH_CAT_CHAINS", "128"))
-    cat_rate, cat_modes = bench_class(
+    cat_rate, cat_modes = guarded("categorical", lambda: bench_class(
         lambda: big_potts_grid(c_grid, c_grid, card=c_card),
         f"categorical {c_grid}x{c_grid} card={c_card}", c_chains, inner,
-        outer)
+        outer))
     t_grid = int(os.environ.get("BENCH_TRI_GRID", "512"))
     t_chains = int(os.environ.get("BENCH_TRI_CHAINS", "128"))
-    tri_rate, tri_modes = bench_class(
+    tri_rate, tri_modes = guarded("arity3", lambda: bench_class(
         lambda: big_triple_grid(t_grid, t_grid),
-        f"arity3 {t_grid}x{t_grid}", t_chains, inner, outer)
+        f"arity3 {t_grid}x{t_grid}", t_chains, inner, outer))
 
     # the irregular KBC class (VERDICT r3 #4): skew + window + hub tier +
     # RCM on the chip, through the same shipped inference path
     k_chains = int(os.environ.get("BENCH_KBC_CHAINS", "128"))
     k_inner = int(os.environ.get("BENCH_KBC_INNER", "5"))
     k_outer = int(os.environ.get("BENCH_KBC_OUTER", "2"))
-    kbc_rate, kbc_modes = bench_kbc(k_chains, k_inner, k_outer)
+    kbc_rate, kbc_modes = guarded(
+        "kbc", lambda: bench_kbc(k_chains, k_inner, k_outer))
 
     print(json.dumps({
         "metric": "variable_updates_per_s",
