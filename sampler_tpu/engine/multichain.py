@@ -690,7 +690,7 @@ def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
                     ts.gd_wid[c], coefsrc[c], own0=c * gB + ti.off,
                     W=ti.band_w, TB=ti.band_tb, D=D, n_weights=W,
                     present=present, interpret=(band == "interpret"))
-                grad = grad + jnp.sum(parts, axis=0)[:W] / NC
+                grad = grad + jnp.sum(parts, axis=(0, 1))[:W] / NC
             continue
         rc = row_chunk or _grad_row_chunk(ti, Bl, D, A, 2 * NC)
         rc = min(rc, Bl)

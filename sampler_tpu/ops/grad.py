@@ -47,9 +47,14 @@ def _phi_counts_jnp(nlit, head, n, f_type, present):
         if t == fs.FUNC_ISTRUE:
             return head.astype(f32)
         if t == fs.FUNC_IMPLY_MLN:
-            return jnp.where(nbody < n_body, 1.0, head.astype(f32))
-        lin = jnp.where(head, n_body, n_body - nbody).astype(f32)
-        lin = jnp.where(n == 1, head.astype(f32), lin)
+            # arithmetic form (Mosaic rejects scalar-branch selects):
+            # body unsatisfied -> 1, else head — head <= 1 so max works
+            return jnp.maximum((nbody < n_body).astype(f32),
+                               head.astype(f32))
+        # where(head, n_body, n_body - nbody) == n_body - (1-head)*nbody
+        lin = (n_body - (1 - headi) * nbody).astype(f32)
+        one1 = (n == 1).astype(f32)
+        lin = lin + one1 * (head.astype(f32) - lin)
         if t == fs.FUNC_LINEAR:
             return lin
         if t == fs.FUNC_RATIO:
@@ -117,9 +122,13 @@ def _grad_kernel(starts_ref, own0_ref, nbr_ref, meta_ref, wid_ref,
     wid = wid_ref[0].reshape(R, 1)                         # int32
 
     vown = own_ref[:].astype(jnp.int32)                    # [TB, NC2]
-    # lane sign: +1 on the evidence half, -1 on the free half
+    # lane sign: +1 on the evidence half, -1 on the free half.  NOTE the
+    # arithmetic forms below avoid jnp.where with SCALAR branches, which
+    # the Mosaic TPU lowering rejects (observed: 'Only float32 is
+    # supported' from a select over bool[TB,NC2] with f32[] operands).
     lane = jax.lax.broadcasted_iota(jnp.int32, (TB, NC2), 1)
-    sgn = jnp.where(lane < NC2 // 2, jnp.float32(1.0), jnp.float32(-1.0))
+    sgn = jnp.float32(1.0) - jnp.float32(2.0) * (
+        lane >= NC2 // 2).astype(jnp.float32)
 
     need_head = _need_head(present)
     accs = [jnp.zeros((TB, 1), jnp.float32) for _ in range(NW)]
@@ -128,11 +137,12 @@ def _grad_kernel(starts_ref, own0_ref, nbr_ref, meta_ref, wid_ref,
         v_n = gath[sl]                                     # [TB, NC2]
         nlit = ((v_n == 1) == pos_n[sl]).astype(jnp.int32)
         v1 = vown == 1
-        nown = jnp.where(v1, o1[sl], o0[sl])
+        v1i = v1.astype(jnp.int32)
+        nown = o0[sl] + (o1[sl] - o0[sl]) * v1i
         if need_head:
             hl = ((v_n == 1) == pos_n[sl]) & hn[sl]
-            head = jnp.where(head_own[sl],
-                             jnp.where(v1, headpos[sl], ~headpos[sl]), hl)
+            own_head = (v1 & headpos[sl]) | (~v1 & ~headpos[sl])
+            head = (head_own[sl] & own_head) | (~head_own[sl] & hl)
         else:
             head = None
         phi = _phi_counts_jnp(nlit + nown, head, n_true[sl], f_type[sl],
@@ -141,13 +151,18 @@ def _grad_kernel(starts_ref, own0_ref, nbr_ref, meta_ref, wid_ref,
         srow = srow * coef[sl]
         wd = wid[sl]
         for w in range(NW):
-            accs[w] = accs[w] + jnp.where(wd == w, srow, 0.0)
+            accs[w] = accs[w] + (wd == w).astype(jnp.float32) * srow
 
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    out = jnp.zeros((1, 128), jnp.float32)
+    # out block is (1, 8, 128): Mosaic requires the last two block dims
+    # divisible by (8, 128); the partials live in sublane row 0, the rest
+    # are zeros (the caller sums over both leading axes)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    out = jnp.zeros((8, 128), jnp.float32)
     for w in range(NW):
-        out = out + jnp.where(iota_l == w, jnp.sum(accs[w]), 0.0)
-    out_ref[:] = out
+        out = out + ((iota_l == w) & (iota_s == 0)).astype(jnp.float32) \
+            * jnp.sum(accs[w])
+    out_ref[0] = out
 
 
 def grad_pair_tile(v_both, nbr_dmaj, starts, meta, wid, coef, own0: int,
@@ -158,9 +173,10 @@ def grad_pair_tile(v_both, nbr_dmaj, starts, meta, wid, coef, own0: int,
     v_both [P, 2NC] int8 (evidence ‖ free worlds on the lane axis);
     nbr_dmaj [ntiles, 1, D*TB] int32 global positions; starts [ntiles];
     meta/wid [ntiles, 1, D*TB] int32; coef [ntiles, 1, D*TB] f32
-    (feat * owner-mask; row d-major); own0 = first own row of this color's tier
-    segment.  Returns [ntiles, 128] f32 — sum over tiles then take
-    [:n_weights] and divide by NC outside."""
+    (feat * owner-mask; row d-major); own0 = first own row of this color's
+    tier segment.  Returns [ntiles, 8, 128] f32 (partials in sublane 0,
+    zeros elsewhere) — sum over the leading two axes, take [:n_weights],
+    divide by NC outside."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -182,7 +198,7 @@ def grad_pair_tile(v_both, nbr_dmaj, starts, meta, wid, coef, own0: int,
             pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # coef
             pl.BlockSpec(memory_space=pl.ANY),                    # v_both
         ],
-        out_specs=pl.BlockSpec((1, 128), lambda t, s, z: (t, 0)),
+        out_specs=pl.BlockSpec((1, 8, 128), lambda t, s, z: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((W, NC2), v_both.dtype),
             pltpu.VMEM((TB, NC2), v_both.dtype),
@@ -196,7 +212,7 @@ def grad_pair_tile(v_both, nbr_dmaj, starts, meta, wid, coef, own0: int,
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (ntiles, 128), jnp.float32,
+            (ntiles, 8, 128), jnp.float32,
             vma=out_vma(v_both, nbr_dmaj, starts, meta, wid, coef)),
         cost_estimate=pl.CostEstimate(
             flops=2 * ntiles * R * W * NC2,

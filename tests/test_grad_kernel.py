@@ -70,3 +70,40 @@ def test_grad_kernel_learning_end_to_end():
     # gather parity); gradients differ only in float reduction order
     np.testing.assert_allclose(np.asarray(wk), np.asarray(wx),
                                rtol=0, atol=1e-4)
+
+
+def test_grad_kernel_imply_linear_variants():
+    """The kernel's arithmetic phi forms (no scalar-branch selects — a
+    Mosaic lowering constraint) must match the XLA gradient on a graph
+    mixing IMPLY_MLN / IMPLY_NATURAL / LINEAR / RATIO / LOGICAL pairwise
+    factors with negated literals."""
+    rng = np.random.default_rng(4)
+    rows = cols = 16
+    V = rows * cols
+    funcs = [fs.FUNC_IMPLY_MLN, fs.FUNC_IMPLY_NATURAL, fs.FUNC_LINEAR,
+             fs.FUNC_RATIO, fs.FUNC_LOGICAL, fs.FUNC_OR]
+    factors = [(fs.FUNC_ISTRUE, 0, 1.0, [(v, True)]) for v in range(V)]
+    for r in range(rows):
+        for c in range(cols - 1):
+            v = r * cols + c
+            f = funcs[(r + c) % len(funcs)]
+            factors.append((int(f), 1, 1.0,
+                            [(v, bool((r + c) % 3 != 0)), (v + 1, True)]))
+    from sampler_tpu.graph import FactorGraph
+    g = FactorGraph.build(var_card=[2] * V, weights=[0.3, 0.5],
+                          factors=factors)
+    g.var_role[:] = rng.random(V) < 0.5
+    g.var_init[:] = rng.integers(0, 2, V)
+    colors = np.tile(np.arange(cols) % 2, rows).astype(np.int32)
+    dg, info = compile_graph(g, colors=colors, band_tile=8,
+                             band_min_block=1)
+    assert info.affine2
+    dgj = to_device(dg)
+    key = jax.random.PRNGKey(2)
+    v_ev = mc.init_values_mc(dgj, key, 4, info)
+    v_free = mc.init_values_mc(dgj, jax.random.fold_in(key, 1), 4, info)
+    for lne in (False, True):
+        g_k = mc_weight_gradient_cs(dgj, v_ev, v_free, lne, info, KERNEL)
+        g_f = _mc_weight_gradient_factors(dgj, v_ev, v_free, lne, info)
+        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_f),
+                                   rtol=0, atol=1e-4)
