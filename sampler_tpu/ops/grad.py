@@ -65,10 +65,14 @@ def _phi_counts_jnp(nlit, head, n, f_type, present):
 
     if len(present) == 1:
         return variant(present[0])
-    conds = [f_type == t for t in present]
-    vals = [variant(t) for t in present]
-    zero = jnp.zeros_like(vals[0])
-    return jnp.select(conds, vals, default=zero)
+    # masked sum instead of jnp.select: select lowers through an integer
+    # argmax that Mosaic only implements for f32; factor types are
+    # mutually exclusive so the sum is exact
+    out = None
+    for t in present:
+        term = (f_type == t).astype(f32) * variant(t)
+        out = term if out is None else out + term
+    return out
 
 
 def _need_head(present) -> bool:
