@@ -95,7 +95,9 @@ def _grad_kernel(starts_ref, own0_ref, nbr_ref, meta_ref, wid_ref,
     cp_w = pltpu.make_async_copy(
         values_ref.at[pl.ds(start, W), :], win_ref, sems.at[0])
     cp_w.start()
-    own_start = own0_ref[0] + t * TB
+    # own0 is a multiple of 8 by construction (tier offsets and color
+    # blocks are align-8); Mosaic needs the proof hint for the sliced DMA
+    own_start = pl.multiple_of(own0_ref[0] + t * TB, 8)
     cp_o = pltpu.make_async_copy(
         values_ref.at[pl.ds(own_start, TB), :], own_ref, sems.at[1])
     cp_o.start()
