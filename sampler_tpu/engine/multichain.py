@@ -26,6 +26,15 @@ from .potentials import eval_phi
 
 NEG_INF = jnp.float32(-1e30)
 LANE = 128  # TPU lane width: the Pallas kernels need NC % LANE == 0
+# gradient mechanism (read ONCE at import, like ops.weights SMALL_W —
+# it participates in trace-time branching).  "auto" = the chunked XLA
+# path on hardware, the fused kernel under interpret (CPU tests): the
+# fused gradient kernel (ops/grad.py) measured 2.16e9 learning updates/s
+# vs 4.76e9 for the XLA path in a same-day A/B on the flagship bench
+# (LEARN_PROFILE_r4.json) — VPU-bound on the per-plane counts-phi; the
+# moment-factored variant (signed lane reduces pushed into the gather
+# matmul) is the planned fix.  SAMPLER_TPU_GRAD=kernel|xla overrides.
+GRAD_MODE = os.environ.get("SAMPLER_TPU_GRAD", "auto").lower()
 
 
 def values_dtype(info):
@@ -674,9 +683,11 @@ def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
         A1 = A - 1
         present = ti.present_funcs or info.present_funcs
         band = tier_modes(ti, modes)[0]
+        use_kernel = (GRAD_MODE == "kernel"
+                      or (GRAD_MODE == "auto" and band == "interpret"))
         if (ti.affine2 and W <= 64 and band in ("pallas", "interpret")
                 and not info.has_sparse_cw and n_graph == 1
-                and row_chunk is None):
+                and row_chunk is None and use_kernel):
             # fused gradient kernel (ops/grad.py): whole per-tile
             # evaluation in VMEM, [ntiles, 128] partials out — the XLA
             # chunked path below was 50.6% of a learning epoch on its
