@@ -50,7 +50,7 @@ def render():
          d.get("categorical_updates_per_s"), d.get("categorical_modes")),
         ("arity-3 boolean (512x512)",
          d.get("arity3_updates_per_s"), d.get("arity3_modes")),
-        ("KBC power-law (4e6 vars, skew+window+hub tier, 128 chains)",
+        ("KBC power-law (5e5 vars, skew+window+hub tier, 128 chains)",
          d.get("kbc_updates_per_s"), d.get("kbc_modes")),
     ]
     out = [f"Source artifact: `{src}` (all numbers measured on one TPU "
