@@ -498,14 +498,17 @@ def run_sweeps_mc(dg, values, weights, key, n_sweeps: int,
          static_argnames=("n_sweeps", "sample_evidence", "info", "modes"))
 def _run_inference_mc(dg, values, weights, key, n_sweeps: int,
                       sample_evidence: bool, info, modes):
-    """Returns (values [P,NC], counts [P,K] pooled over chains)."""
+    """Returns (values [P,NC], counts [K,P] pooled over chains)."""
     P = dg.var_card.shape[0]
     K = info.max_card
-    # derive the zero init from `values` so its varying-axis type matches
-    # under shard_map (plain zeros would be 'unvarying' and break scan)
-    counts0 = jnp.tile(values[:, :1].astype(jnp.int32) * 0, (1, K))
+    # counts live TRANSPOSED [K, P]: a [P, K] device array tile-pads its
+    # minor dim K -> 128 (64x at K=2 — a 12.5 GB buffer at 2.6e7 vars,
+    # which OOM'd the 5120^2 scale run); [K, P] pads nothing.  The zero
+    # init derives from `values` so its varying-axis type matches under
+    # shard_map (plain zeros would be 'unvarying' and break scan).
+    counts0 = jnp.tile(values[:1, :1].astype(jnp.int32) * 0, (K, P))
     # compare in the values dtype: vals.astype(int32) materialized a full
-    # [P, NC] s32 temp (12.5 GB at 2.6e7 vars — OOM'd the 5120^2 scale run)
+    # [P, NC] s32 temp of the same size
     ks = jnp.arange(K, dtype=values.dtype)
     folded = prepare_fold(dg, weights, info, modes)
 
@@ -514,7 +517,7 @@ def _run_inference_mc(dg, values, weights, key, n_sweeps: int,
         k = jax.random.fold_in(key, i)
         vals = sweep_mc(dg, vals, weights, k, sample_evidence, info, folded,
                         modes)
-        onehot = (vals[:, None, :] == ks[None, :, None])
+        onehot = (vals[None, :, :] == ks[:, None, None])
         counts = counts + jnp.sum(onehot, axis=-1, dtype=jnp.int32)
         return (vals, counts), None
 
@@ -525,6 +528,8 @@ def _run_inference_mc(dg, values, weights, key, n_sweeps: int,
 
 def run_inference_mc(dg, values, weights, key, n_sweeps: int,
                      sample_evidence: bool, info, modes=None):
+    """Returns (values [P, NC], counts [K, P] pooled over chains —
+    TRANSPOSED so the big axis is minor; callers transpose on host)."""
     if modes is None:
         modes = resolve_modes(info)
     modes = demote_modes(modes, values.shape[-1])
@@ -926,6 +931,11 @@ def infer_mc(dg, weights, key, n_burn: int, n_sweeps: int, info,
                                sample_evidence, info, modes)
     values, counts = run_inference_mc(dg, values, weights, k_inf, n_sweeps,
                                       sample_evidence, info, modes)
-    marg = counts[dg.pos_of_vid].astype(jnp.float32) / jnp.float32(
-        n_sweeps * n_chains)
+    # host-side transpose + reindex: doing this in-jit materializes the
+    # K-minor [P, K] padded buffer the [K, P] layout exists to avoid
+    import numpy as np
+
+    cnt = np.asarray(jax.device_get(counts)).T
+    marg = cnt[np.asarray(jax.device_get(dg.pos_of_vid))].astype(
+        np.float32) / np.float32(n_sweeps * n_chains)
     return marg, values

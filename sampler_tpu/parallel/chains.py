@@ -90,7 +90,12 @@ def infer_sharded(dg, weights, key, n_burn: int, n_sweeps: int, info,
                     sample_evidence)
     keys = jax.random.split(key, n_dev)
     values, counts = run(dg, weights, keys)
-    marg = counts[dg.pos_of_vid].astype(jnp.float32) / jnp.float32(
+    # counts arrive [K, P] (big axis minor — see run_inference_mc);
+    # transpose + reindex on HOST to avoid the K-minor padded buffer
+    import numpy as np
+    cnt = np.asarray(jax.device_get(counts)).T
+    marg = cnt[np.asarray(jax.device_get(dg.pos_of_vid))].astype(
+        np.float32) / np.float32(
         n_sweeps * chains_per_device * n_dev)
     return marg, values
 
