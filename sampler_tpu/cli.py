@@ -425,7 +425,8 @@ def _run_gibbs_phases(args, log, graph, dgj, info, weights, k_learn, k_inf,
             values, cts = run_inference_mc(
                 dgj, values, weights, jax.random.fold_in(k_run, inf_done),
                 chunk, args.sample_evidence, info, modes)
-            counts += np.asarray(cts, np.int64).T   # device counts [K, P]
+            counts += np.asarray(cts, np.int64).reshape(K, -1).T
+            #         device counts are flat row-major [K, P]
             inf_done += chunk
             save("infer", values, counts=counts, sweep=inf_done, w=weights)
         marg = (counts[np.asarray(dgj.pos_of_vid)]

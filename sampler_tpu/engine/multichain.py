@@ -498,15 +498,19 @@ def run_sweeps_mc(dg, values, weights, key, n_sweeps: int,
          static_argnames=("n_sweeps", "sample_evidence", "info", "modes"))
 def _run_inference_mc(dg, values, weights, key, n_sweeps: int,
                       sample_evidence: bool, info, modes):
-    """Returns (values [P,NC], counts [K,P] pooled over chains)."""
+    """Returns (values [P,NC], counts flat [K*P] row-major [K, P],
+    pooled over chains)."""
     P = dg.var_card.shape[0]
     K = info.max_card
-    # counts live TRANSPOSED [K, P]: a [P, K] device array tile-pads its
-    # minor dim K -> 128 (64x at K=2 — a 12.5 GB buffer at 2.6e7 vars,
-    # which OOM'd the 5120^2 scale run); [K, P] pads nothing.  The zero
-    # init derives from `values` so its varying-axis type matches under
-    # shard_map (plain zeros would be 'unvarying' and break scan).
-    counts0 = jnp.tile(values[:1, :1].astype(jnp.int32) * 0, (K, P))
+    # counts live FLAT [K*P] (row-major [K, P]): any 2-D counts buffer
+    # tile-pads whichever dim lands minor to (8, 128) — K-minor pads 64x
+    # at K=2 (a 12.5 GB allocation at 2.6e7 vars, which OOM'd the 5120^2
+    # scale run twice: XLA's layout assignment even undid an explicit
+    # [K, P] logical transpose).  A 1-D buffer has no minor dim to pad.
+    # The zero init derives from `values` so its varying-axis type matches
+    # under shard_map (plain zeros would be 'unvarying' and break scan).
+    counts0 = jnp.tile(values[:1, :1].astype(jnp.int32) * 0,
+                       (K * P,)).reshape(K * P)
     # compare in the values dtype: vals.astype(int32) materialized a full
     # [P, NC] s32 temp of the same size
     ks = jnp.arange(K, dtype=values.dtype)
@@ -518,7 +522,8 @@ def _run_inference_mc(dg, values, weights, key, n_sweeps: int,
         vals = sweep_mc(dg, vals, weights, k, sample_evidence, info, folded,
                         modes)
         onehot = (vals[None, :, :] == ks[:, None, None])
-        counts = counts + jnp.sum(onehot, axis=-1, dtype=jnp.int32)
+        counts = counts + jnp.sum(onehot, axis=-1,
+                                  dtype=jnp.int32).reshape(K * P)
         return (vals, counts), None
 
     (values, counts), _ = jax.lax.scan(body, (values, counts0),
@@ -528,8 +533,8 @@ def _run_inference_mc(dg, values, weights, key, n_sweeps: int,
 
 def run_inference_mc(dg, values, weights, key, n_sweeps: int,
                      sample_evidence: bool, info, modes=None):
-    """Returns (values [P, NC], counts [K, P] pooled over chains —
-    TRANSPOSED so the big axis is minor; callers transpose on host)."""
+    """Returns (values [P, NC], counts flat [K*P] = row-major [K, P] —
+    1-D so no tile padding; callers reshape + transpose on host)."""
     if modes is None:
         modes = resolve_modes(info)
     modes = demote_modes(modes, values.shape[-1])
@@ -935,7 +940,8 @@ def infer_mc(dg, weights, key, n_burn: int, n_sweeps: int, info,
     # K-minor [P, K] padded buffer the [K, P] layout exists to avoid
     import numpy as np
 
-    cnt = np.asarray(jax.device_get(counts)).T
+    K = info.max_card
+    cnt = np.asarray(jax.device_get(counts)).reshape(K, -1).T
     marg = cnt[np.asarray(jax.device_get(dg.pos_of_vid))].astype(
         np.float32) / np.float32(n_sweeps * n_chains)
     return marg, values

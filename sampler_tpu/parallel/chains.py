@@ -90,10 +90,10 @@ def infer_sharded(dg, weights, key, n_burn: int, n_sweeps: int, info,
                     sample_evidence)
     keys = jax.random.split(key, n_dev)
     values, counts = run(dg, weights, keys)
-    # counts arrive [K, P] (big axis minor — see run_inference_mc);
-    # transpose + reindex on HOST to avoid the K-minor padded buffer
+    # counts arrive flat [K*P] (see run_inference_mc — 1-D avoids tile
+    # padding); reshape + transpose + reindex on HOST
     import numpy as np
-    cnt = np.asarray(jax.device_get(counts)).T
+    cnt = np.asarray(jax.device_get(counts)).reshape(info.max_card, -1).T
     marg = cnt[np.asarray(jax.device_get(dg.pos_of_vid))].astype(
         np.float32) / np.float32(
         n_sweeps * chains_per_device * n_dev)
