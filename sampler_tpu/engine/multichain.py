@@ -521,9 +521,16 @@ def _run_inference_mc(dg, values, weights, key, n_sweeps: int,
         k = jax.random.fold_in(key, i)
         vals = sweep_mc(dg, vals, weights, k, sample_evidence, info, folded,
                         modes)
-        onehot = (vals[None, :, :] == ks[:, None, None])
-        counts = counts + jnp.sum(onehot, axis=-1,
-                                  dtype=jnp.int32).reshape(K * P)
+        if K <= 16:
+            # per-candidate 1-D sums: even a reshaped 2-D reduce output
+            # materializes as a K-minor padded [K, P] temp (64x at K=2)
+            counts = counts + jnp.concatenate(
+                [jnp.sum(vals == jnp.asarray(k_, vals.dtype), axis=-1,
+                         dtype=jnp.int32) for k_ in range(K)])
+        else:
+            onehot = (vals[None, :, :] == ks[:, None, None])
+            counts = counts + jnp.sum(onehot, axis=-1,
+                                      dtype=jnp.int32).reshape(K * P)
         return (vals, counts), None
 
     (values, counts), _ = jax.lax.scan(body, (values, counts0),
