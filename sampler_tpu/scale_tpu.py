@@ -91,8 +91,10 @@ def main(argv=None):
     np.asarray(jax.device_get(counts.ravel()[-1]))
     t_run = time.time() - t0
 
-    # sanity: marginals finite and in [0,1]
-    tot = np.asarray(counts.sum(axis=-1))
+    # sanity: every position tallied (counts are flat row-major [K, P];
+    # sum in int64 on host — the device total can exceed int32)
+    cnt = np.asarray(jax.device_get(counts), np.int64)
+    tot = cnt.reshape(info.max_card, -1).sum(axis=0)
     assert (tot > 0).all()
 
     updates = info.n_vars * args.sweeps * args.outer * args.chains

@@ -67,10 +67,13 @@ def render():
     if scale:
         with open(scale[-1]) as f:
             s = json.load(f)
+        gb = s.get("memory", {}).get("total_bytes", 0) / 1e9
         out += ["", f"Single-chip scale point (`{os.path.basename(scale[-1])}`): "
                 f"{s.get('n_vars', '?'):,} variables, "
-                f"{fmt(float(s.get('updates_per_s', 0)))} updates/s, "
-                f"device image {s.get('image_gb', '?')} GB."]
+                f"{fmt(float(s.get('updates_per_s', 0)))} updates/s "
+                f"(modes {'/'.join(s.get('modes', []))}, band_w "
+                f"{s.get('band_w', 0)}), unpadded device image "
+                f"{gb:.1f} GB."]
     return "\n".join(out)
 
 
