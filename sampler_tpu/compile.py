@@ -809,9 +809,14 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
         hn = (cs_hmask & ~cs_ismine)[..., 0]
         pos_n = cs_pos[..., 0]
         n_true = cs_arity.astype(np.int32)
+        # bit 24: neighbor slot 0 is a REAL non-own slot.  Without it a
+        # masked pad slot (pos_n=False, gathers value 0) counts as a
+        # satisfied literal — wrong gradients for arity-1 counts factors
+        # (AND/OR/EQUAL) living in an affine2 tier.
+        nvalid = (cs_mask & ~cs_ismine)[..., 0]
         meta = (o1 | (o0 << 2) | (headpos << 4) | (head_own << 5)
                 | (hn << 6) | (pos_n << 7) | (n_true << 8)
-                | (cs_type.astype(np.int32) << 16))
+                | (cs_type.astype(np.int32) << 16) | (nvalid << 24))
         gd_meta = _rowmaj(meta.astype(np.int32))
         gd_wid = _rowmaj(cs_wid)
         gd_cown = _rowmaj(np.where(cs_gowner, cs_feat, 0.0)

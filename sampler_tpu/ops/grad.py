@@ -124,6 +124,7 @@ def _grad_kernel(starts_ref, own0_ref, nbr_ref, meta_ref, wid_ref,
     pos_n = ((meta >> 7) & 1) == 1
     n_true = (meta >> 8) & 0xFF
     f_type = (meta >> 16) & 0xFF
+    nvalid = ((meta >> 24) & 1) == 1      # neighbor slot 0 is real non-own
     coef = coef_ref[0].reshape(R, 1)                       # f32
     wid = wid_ref[0].reshape(R, 1)                         # int32
 
@@ -141,12 +142,14 @@ def _grad_kernel(starts_ref, own0_ref, nbr_ref, meta_ref, wid_ref,
     for d in range(D):                                     # static unroll
         sl = slice(d * TB, (d + 1) * TB)
         v_n = gath[sl]                                     # [TB, NC2]
-        nlit = ((v_n == 1) == pos_n[sl]).astype(jnp.int32)
+        # mask pad/own-only slots: a gathered 0 on a pos_n=False pad slot
+        # must NOT count as a satisfied neighbor literal (ADVICE r4)
+        nlit = (((v_n == 1) == pos_n[sl]) & nvalid[sl]).astype(jnp.int32)
         v1 = vown == 1
         v1i = v1.astype(jnp.int32)
         nown = o0[sl] + (o1[sl] - o0[sl]) * v1i
         if need_head:
-            hl = ((v_n == 1) == pos_n[sl]) & hn[sl]
+            hl = ((v_n == 1) == pos_n[sl]) & hn[sl] & nvalid[sl]
             own_head = (v1 & headpos[sl]) | (~v1 & ~headpos[sl])
             head = (head_own[sl] & own_head) | (~head_own[sl] & hl)
         else:

@@ -103,8 +103,11 @@ def infer_multihost(dg, weights, key, n_burn: int, n_sweeps: int, info,
     run = _infer_fn(info, mesh, modes, n_burn, n_sweeps, chains_per_device,
                     sample_evidence)
     _, counts = run(dg_g, w_g, keys)
-    counts = np.asarray(counts)      # fully replicated -> local read is fine
-    marg = counts[np.asarray(dg.pos_of_vid)].astype(np.float32) / np.float32(
+    # counts arrive flat [K*P] row-major [K, P] (run_inference_mc keeps the
+    # tally 1-D on device to dodge tile padding); reshape + transpose on the
+    # HOST before reindexing — mirrors infer_sharded in chains.py.
+    cnt = np.asarray(counts).reshape(info.max_card, -1).T
+    marg = cnt[np.asarray(dg.pos_of_vid)].astype(np.float32) / np.float32(
         n_sweeps * chains_per_device * n_dev)
     return marg
 

@@ -107,3 +107,44 @@ def test_grad_kernel_imply_linear_variants():
         g_f = _mc_weight_gradient_factors(dgj, v_ev, v_free, lne, info)
         np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_f),
                                    rtol=0, atol=1e-4)
+
+
+def test_grad_kernel_unary_counts_factors():
+    """Arity-1 AND/OR/EQUAL factors inside an affine2 (pairwise) tier: the
+    record's neighbor slot is a masked pad that gathers value 0, and with
+    pos_n=False it must NOT count as a satisfied literal (round-4 advisor
+    finding: sign-flipped unary AND gradient).  The nvalid bit packed in
+    gd_meta bit 24 guards this."""
+    rng = np.random.default_rng(11)
+    rows = cols = 16
+    V = rows * cols
+    unary_funcs = [fs.FUNC_AND, fs.FUNC_OR, fs.FUNC_EQUAL, fs.FUNC_ISTRUE]
+    factors = []
+    for v in range(V):
+        f = unary_funcs[v % len(unary_funcs)]
+        factors.append((int(f), 0, 1.0, [(v, bool(v % 3 != 0))]))
+    for r in range(rows):
+        for c in range(cols - 1):
+            v = r * cols + c
+            factors.append((fs.FUNC_AND, 1, 1.0, [(v, True), (v + 1, True)]))
+    from sampler_tpu.graph import FactorGraph
+    g = FactorGraph.build(var_card=[2] * V, weights=[0.3, 0.5],
+                          factors=factors)
+    g.var_role[:] = rng.random(V) < 0.5
+    g.var_init[:] = rng.integers(0, 2, V)
+    colors = np.tile(np.arange(cols) % 2, rows).astype(np.int32)
+    dg, info = compile_graph(g, colors=colors, band_tile=8,
+                             band_min_block=1)
+    assert info.affine2
+    dgj = to_device(dg)
+    key = jax.random.PRNGKey(5)
+    v_ev = mc.init_values_mc(dgj, key, 4, info)
+    v_free = mc.init_values_mc(dgj, jax.random.fold_in(key, 1), 4, info)
+    for lne in (False, True):
+        g_k = mc_weight_gradient_cs(dgj, v_ev, v_free, lne, info, KERNEL)
+        g_x = mc_weight_gradient_cs(dgj, v_ev, v_free, lne, info, PLAIN)
+        g_f = _mc_weight_gradient_factors(dgj, v_ev, v_free, lne, info)
+        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
+                                   rtol=0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_f),
+                                   rtol=0, atol=1e-4)
