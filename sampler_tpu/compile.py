@@ -99,29 +99,32 @@ class TierStreams(NamedTuple):
     bd_lo: np.ndarray      # int32 [C, ntiles] ([C, 1] when no bounds)
     bd_hi: np.ndarray      # int32 [C, ntiles] (exclusive)
     # fused affine color step (ops/fused.py; TierInfo.affine2):
-    bd_nbr: np.ndarray     # int32 [C, ntiles, 1, D*TB] neighbor positions,
-    #                        d-major within tile ([C,1,1,1] when off)
+    bd_nbr: np.ndarray     # int32 [C, ntiles, D*TB] neighbor positions,
+    #                        d-major within tile ([C,1,1] when off)
     ab_a: np.ndarray       # f32 [C, B, D] delta-phi intercept ([C,1,1] off)
     ab_b: np.ndarray       # f32 [C, B, D] delta-phi slope in neighbor value
     # K-candidate fused color step (ops/fused.py; TierInfo.affinek —
     # categorical/mixed arity<=2 tiers; placeholders when off).  Kernel
-    # streams are stored ROW-major d-major [C, ntiles, 1, D*TB] — a
-    # trailing dim of 1 would tile-pad 1 -> 128 lanes in HBM (128x memory);
-    # kernels transpose rows to columns in VMEM instead.
+    # streams are stored ROW-major d-major [C, ntiles, D*TB]: the last two
+    # dims (ntiles, D*TB) are both large, so the (8, 128) HBM tile padding
+    # is negligible (a trailing dim of 1 would pad 128x, a middle dim of 1
+    # 8x — both measured; round-4/5 layout fixes).  Kernels index blocks
+    # (1, 1, R) at (c, t, 0) with the color passed as a scalar prefetch, so
+    # the hot loop never materializes a per-color slice copy.
     cs_cka: np.ndarray     # f32 [C, B, D] pre-weight candidate coefficient
     cs_ckb: np.ndarray     # f32 [C, B, D] pre-weight e-slope coefficient
-    bd_eqo: np.ndarray     # int32 [C, ntiles, 1, D*TB] own eq predicate
-    #                        ([C,1,1,1] when off)
-    bd_eqn: np.ndarray     # int32 [C, ntiles, 1, D*TB] neighbor eq pred
+    bd_eqo: np.ndarray     # int32 [C, ntiles, D*TB] own eq predicate
+    #                        ([C,1,1] when off)
+    bd_eqn: np.ndarray     # int32 [C, ntiles, D*TB] neighbor eq pred
     # fused gradient kernel streams (ops/grad.py; built with affine2 —
-    # pairwise boolean banded tiers; [C,1,1,1] placeholders otherwise).
+    # pairwise boolean banded tiers; [C,1,1] placeholders otherwise).
     # gd_meta packs the per-record φ sufficient-statistic constants:
     # o1 | o0<<2 | headpos<<4 | head_own<<5 | hn<<6 | pos_n<<7 | n<<8
-    # | type<<16 (row d-major like bd_eqo)
-    gd_meta: np.ndarray    # int32 [C, ntiles, 1, D*TB]
-    gd_wid: np.ndarray     # int32 [C, ntiles, 1, D*TB] weight id
-    gd_cown: np.ndarray    # f32 [C, ntiles, 1, D*TB] feat * gowner
-    gd_ctch: np.ndarray    # f32 [C, ntiles, 1, D*TB] feat * gtouch
+    # | type<<16 | nvalid<<24 (row d-major like bd_eqo)
+    gd_meta: np.ndarray    # int32 [C, ntiles, D*TB]
+    gd_wid: np.ndarray     # int32 [C, ntiles, D*TB] weight id
+    gd_cown: np.ndarray    # f32 [C, ntiles, D*TB] feat * gowner
+    gd_ctch: np.ndarray    # f32 [C, ntiles, D*TB] feat * gtouch
     # precomputed draw masks (runtime comparisons against sliced metadata
     # trigger a pathological Mosaic lowering — ~400x slower — so these are
     # baked at compile time and streamed):
@@ -734,7 +737,7 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
             # source color block, gathered as one concatenated-window
             # one-hot matmul (ops/banded.py plan_banding_multi)
             st_m, w_m, k_m, rn_m, lo_m, hi_m = plan_banding_multi(
-                cs_nbr, P, band_tile, band_wmax, B, C)
+                cs_nbr, P, band_tile, band_wmax)
             if st_m is not None and k_m >= 1:
                 bd_start, band_w, band_k = st_m, w_m, k_m
                 bd_rnbr = rn_m
@@ -774,18 +777,18 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
         ntiles = bd_start.shape[1]
         TB = Bt // ntiles
         bd_nbr = (cs_nbr[..., 0].reshape(C, ntiles, TB, D)
-                  .transpose(0, 1, 3, 2).reshape(C, ntiles, 1, D * TB)
+                  .transpose(0, 1, 3, 2).reshape(C, ntiles, D * TB)
                   .copy())
     else:
-        bd_nbr = np.zeros((C, 1, 1, 1), np.int32)
+        bd_nbr = np.zeros((C, 1, 1), np.int32)
     if not affine2:
         ab_a = ab_b = np.zeros((C, 1, 1), np.float32)
     if affine2 or affinek:
 
-        def _rowmaj(x):      # [C, Bt, D] -> [C, ntiles, 1, D*TB] d-major
+        def _rowmaj(x):      # [C, Bt, D] -> [C, ntiles, D*TB] d-major
             return (np.ascontiguousarray(
                 x.reshape(C, ntiles, TB, D).transpose(0, 1, 3, 2))
-                .reshape(C, ntiles, 1, D * TB))
+                .reshape(C, ntiles, D * TB))
 
     if affinek:
         from .ops.fused import affine_cat
@@ -797,7 +800,7 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
         bd_eqn = _rowmaj(cs_eq[..., 0].astype(np.int32))
     else:
         cs_cka = cs_ckb = np.zeros((C, 1, 1), np.float32)
-        bd_eqo = bd_eqn = np.zeros((C, 1, 1, 1), np.int32)
+        bd_eqo = bd_eqn = np.zeros((C, 1, 1), np.int32)
     if affine2:
         # fused-gradient kernel streams (ops/grad.py): φ sufficient-stat
         # constants per record, packed into one int32, column d-major
@@ -824,8 +827,8 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
         gd_ctch = _rowmaj(np.where(cs_gtouch, cs_feat, 0.0)
                           .astype(np.float32))
     else:
-        gd_meta = gd_wid = np.zeros((C, 1, 1, 1), np.int32)
-        gd_cown = gd_ctch = np.zeros((C, 1, 1, 1), np.float32)
+        gd_meta = gd_wid = np.zeros((C, 1, 1), np.int32)
+        gd_cown = gd_ctch = np.zeros((C, 1, 1), np.float32)
 
     # --- draw masks ---------------------------------------------------------
     cm_view = lambda a: a[:-1].reshape(C, B)[:, off_t:off_t + Bt]
@@ -989,17 +992,17 @@ def _build_hub_tier(off_t: int, Bt: int, C: int, B: int, P: int,
         cs_cwstride=np.zeros((C, 1, 1, 1), np.int32),
         bd_start=z32, bd_rnbr=np.zeros((C, 1, 1), np.int32),
         bd_lo=z32, bd_hi=z32,
-        bd_nbr=np.zeros((C, 1, 1, 1), np.int32),
+        bd_nbr=np.zeros((C, 1, 1), np.int32),
         ab_a=np.zeros((C, 1, 1), np.float32),
         ab_b=np.zeros((C, 1, 1), np.float32),
         cs_cka=np.zeros((C, 1, 1), np.float32),
         cs_ckb=np.zeros((C, 1, 1), np.float32),
-        bd_eqo=np.zeros((C, 1, 1, 1), np.int32),
-        bd_eqn=np.zeros((C, 1, 1, 1), np.int32),
-        gd_meta=np.zeros((C, 1, 1, 1), np.int32),
-        gd_wid=np.zeros((C, 1, 1, 1), np.int32),
-        gd_cown=np.zeros((C, 1, 1, 1), np.float32),
-        gd_ctch=np.zeros((C, 1, 1, 1), np.float32),
+        bd_eqo=np.zeros((C, 1, 1), np.int32),
+        bd_eqn=np.zeros((C, 1, 1), np.int32),
+        gd_meta=np.zeros((C, 1, 1), np.int32),
+        gd_wid=np.zeros((C, 1, 1), np.int32),
+        gd_cown=np.zeros((C, 1, 1), np.float32),
+        gd_ctch=np.zeros((C, 1, 1), np.float32),
         cm_kmask=cm_kmask, cm_resample=cm_resample,
         cm_resample_ev=cm_resample_ev,
         hb_row=hb_row,
@@ -1024,9 +1027,74 @@ def iter_arrays(dg: DeviceGraph):
             yield name, getattr(dg, name)
 
 
+# Per-record arrays stored FLAT (1-D) on device: XLA tiles the last two
+# dims of every HBM array to (8, 128), so a [C, B, D, A]-class stream with
+# small minor dims pads 43-205x at rest — the measured OOMs behind the
+# round-4 KBC 5e5-var cap and the 4096^2 scale limit (README Limits).  A
+# 1-D array has no minor dim to pad; the engine reslices + reshapes per
+# use (tier_geom/_tc in engine.multichain), which XLA fuses into consumers
+# without materializing the padded logical form.
+FLAT_TIER_FIELDS = (
+    "cs_nbr", "cs_ismine", "cs_hmask", "cs_pos", "cs_eq", "cs_mask",
+    "cs_type", "cs_arity", "cs_wid", "cs_feat", "cs_gowner", "cs_gtouch",
+    "cs_issparse", "cs_cwbase", "cs_cwstride", "ab_a", "ab_b", "cs_cka",
+    "cs_ckb", "cm_kmask")
+FLAT_TOP_FIELDS = ("f_vids", "f_ispos", "f_eqpred", "f_mask", "f_cwstride")
+
+
+def tier_geom(ts: TierStreams, ti, C: int) -> tuple:
+    """(rows, D, A) of one tier's [C, rows, D, A]-class streams.
+
+    rows derives from the always-real cs_type array's SIZE, so graph-shard
+    LOCAL slices (rows = block/n_graph) and hub tiers (rows = chunks,
+    D = records per chunk) report their actual geometry in every storage
+    layout (flat 1-D, per-color 2-D, legacy multi-D)."""
+    D = ti.chunk_g if ti.hub else ti.degree
+    return int(ts.cs_type.size) // (C * D), D, ti.arity
+
+
+def flatten_streams(dg: DeviceGraph) -> DeviceGraph:
+    """Reshape the big per-record arrays to 1-D (host-side numpy views)."""
+    tiers = tuple(
+        ts._replace(**{f: getattr(ts, f).reshape(-1)
+                       for f in FLAT_TIER_FIELDS})
+        for ts in dg.tiers)
+    return dg._replace(
+        tiers=tiers,
+        **{f: getattr(dg, f).reshape(-1) for f in FLAT_TOP_FIELDS})
+
+
+def tiers_2d(dg: DeviceGraph, info: CompileInfo) -> DeviceGraph:
+    """Per-color 2-D [C, N] views of flat tier streams (N = rows*D*A,
+    row-major) — the layout graph sharding needs: PartitionSpec(None,
+    'graph') splits N into contiguous per-shard row runs that match each
+    device's tier-segment slice.  The residual (8, 128) padding is C -> 8
+    on the sublane dim, i.e. <= 4x only for C < 8 (small graphs).
+    Multi-D arrays pass through unchanged."""
+    def r2(a):
+        return a.reshape(info.n_colors, -1) if a.ndim == 1 else a
+
+    tiers = tuple(
+        ts._replace(**{f: r2(getattr(ts, f)) for f in FLAT_TIER_FIELDS})
+        for ts in dg.tiers)
+    return dg._replace(tiers=tiers)
+
+
+def factor_records(dg: DeviceGraph) -> tuple:
+    """(f_vids, f_ispos, f_eqpred, f_mask) in their logical [F', A] shapes,
+    whatever the storage layout (flat on device, 2-D on host)."""
+    Fp = dg.f_type.shape[0]
+
+    def r2(a):
+        return a if a.ndim == 2 else a.reshape(Fp, -1)
+
+    return (r2(dg.f_vids), r2(dg.f_ispos), r2(dg.f_eqpred), r2(dg.f_mask))
+
+
 def to_device(dg: DeviceGraph):
-    """Move all arrays to the default JAX device (same pytree structure)."""
+    """Move all arrays to the default JAX device, storing the per-record
+    streams FLAT (see FLAT_TIER_FIELDS note above)."""
     import jax
     import jax.numpy as jnp
 
-    return jax.tree_util.tree_map(jnp.asarray, dg)
+    return jax.tree_util.tree_map(jnp.asarray, flatten_streams(dg))

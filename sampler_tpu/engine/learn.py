@@ -45,7 +45,10 @@ def weight_gradient(dg, values_ev, values_free, learn_non_evidence: bool,
     diff = dg.f_feat * (phi_ev - phi_free)
     if not learn_non_evidence:
         # only factors touching >=1 evidence variable contribute
-        touches_ev = jnp.any((dg.var_role[dg.f_vids] == 1) & dg.f_mask, axis=-1)
+        from ..compile import factor_records
+
+        f_vids, _, _, f_mask = factor_records(dg)
+        touches_ev = jnp.any((dg.var_role[f_vids] == 1) & f_mask, axis=-1)
     else:
         touches_ev = True
     diff = jnp.where(jnp.logical_and(touches_ev, jnp.logical_not(issparse)),

@@ -188,6 +188,26 @@ def _phi_from_counts(nlit, head, n, f_type, present):
     return jnp.select(conds, vals, default=zero)
 
 
+def _tc(arr, c, shape):
+    """Color-``c`` slice of a tier stream in its logical ``shape``.
+
+    At-rest storage is FLAT 1-D (compile.to_device) so nothing tile-pads
+    in HBM; slicing happens in flat space (start = c * prod(shape)) and
+    the reshape fuses into consumers.  Graph-sharded local slices arrive
+    per-color 2-D [C, N] (compile.tiers_2d); legacy multi-D arrays index
+    their color axis directly.  ``c`` may be traced (fori_loop over
+    colors)."""
+    n = 1
+    for s in shape:
+        n *= s
+    if arr.ndim == 1:
+        return jax.lax.dynamic_slice(arr, (c * n,), (n,)).reshape(shape)
+    if arr.ndim == 2 and arr.shape[1] == n:
+        return jax.lax.dynamic_slice(
+            arr, (c, 0), (1, n))[0].reshape(shape)
+    return arr[c]
+
+
 def tier_modes(ti, modes) -> tuple:
     """Per-tier mechanism gating: a tier without a banding plan runs the
     plain gather even when the graph-level mode is Pallas; a tier without
@@ -209,20 +229,22 @@ def _nbr_lits(ts, ti, values, c, info, modes):
     slots' literals come from the candidate, so fetching them would waste
     gather issue slots (the sweep's dominant cost).
     """
-    nbr = ts.cs_nbr[c]                # [B, D, A-1]
-    pos = ts.cs_pos[c]                # [B, D, A]
-    eq = None if info.all_boolean else ts.cs_eq[c]
+    from ..compile import tier_geom
+
+    B, D, A = tier_geom(ts, ti, info.n_colors)
+    A1 = A - 1
+    pos = _tc(ts.cs_pos, c, (B, D, A))
+    eq = None if info.all_boolean else _tc(ts.cs_eq, c, (B, D, A))
     dt = values.dtype
-    A1 = nbr.shape[-1]
     NC = values.shape[-1]
     if A1 == 0:                       # unary-only tier: nothing to gather
-        return jnp.zeros(nbr.shape + (NC,), bool), pos, eq, None
+        return jnp.zeros((B, D, 0, NC), bool), pos, eq, None
+    nbr = _tc(ts.cs_nbr, c, (B, D, A1))
     band = tier_modes(ti, modes)[0]
     if band != "off":
         # MXU path: gather as banded one-hot matmul (ops/banded.py)
         from ..ops.banded import banded_gather, banded_gather_multi
 
-        B, D = nbr.shape[0], nbr.shape[1]
         if ti.band_k >= 2:
             vals = banded_gather_multi(values, ts.bd_rnbr[c],
                                        ts.bd_start[c], ti.band_w,
@@ -234,7 +256,11 @@ def _nbr_lits(ts, ti, values, c, info, modes):
                                  band)
         vals = vals.reshape(B, D, A1, NC)
     else:
-        vals = values[nbr]            # [B, D, A-1, NC]  row gather
+        # flat-index row gather: a [B, D, A1]-shaped index operand would
+        # materialize (8, 128)-tile-padded (43-128x), which is what OOM'd
+        # the round-4 1e6-var KBC run; a 1-D index operand has no minor
+        # dim to pad and the output reshape fuses into the literal compare
+        vals = values[nbr.reshape(-1)].reshape(B, D, A1, NC)
     if eq is None:
         nbr_lit = (vals == jnp.asarray(1, dt)) == pos[..., :A1, None]
     else:
@@ -246,11 +272,13 @@ def _nbr_lits(ts, ti, values, c, info, modes):
 def color_logits_mc(dg, ts, ti, values, weights, c, info,
                     modes=("off", "off")):
     """Conditional log-potentials [B, K, NC] for tier ``ts``, color ``c``."""
+    from ..compile import tier_geom
+
     K = info.max_card
-    A = ts.cs_mask.shape[-1]
+    B, D, A = tier_geom(ts, ti, info.n_colors)
     nbr_lit, pos, eq, vals_raw = _nbr_lits(ts, ti, values, c, info, modes)
     A1 = A - 1
-    msk = ts.cs_mask[c]
+    msk = _tc(ts.cs_mask, c, (B, D, A))
     ks = jax.lax.broadcasted_iota(jnp.int32, (K,), 0)
 
     if eq is None:
@@ -259,7 +287,7 @@ def color_logits_mc(dg, ts, ti, values, weights, c, info,
         cand_lit = (ks[None, None, :, None] == eq[:, :, None, :]) \
             == pos[:, :, None, :]                      # [B, D, K, A]
 
-    is_mine = ts.cs_ismine[c]                          # [B, D, A] streamed
+    is_mine = _tc(ts.cs_ismine, c, (B, D, A))          # [B, D, A] streamed
 
     # [B, D, K, A, NC]: candidate at own slots, gathered at neighbor slots.
     # Slot A-1 is always own (own-last permutation), so only the leading
@@ -273,15 +301,17 @@ def color_logits_mc(dg, ts, ti, values, weights, c, info,
     lit_k = jnp.concatenate([lit_head, lit_last], axis=-2)
 
     present = ti.present_funcs or info.present_funcs
+    cs_feat_c = _tc(ts.cs_feat, c, (B, D))
     phi = _eval_phi_ax2(
         lit_k,
         msk[:, :, None, :, None],
-        ts.cs_type[c][:, :, None, None],
-        ts.cs_arity[c][:, :, None, None],
+        _tc(ts.cs_type, c, (B, D))[:, :, None, None],
+        _tc(ts.cs_arity, c, (B, D))[:, :, None, None],
         present,
-        hmask=ts.cs_hmask[c][:, :, None, :, None],
+        hmask=_tc(ts.cs_hmask, c, (B, D, A))[:, :, None, :, None],
     )                                                  # [B, D, K, NC]
-    wf = expand_wf(weights, ts.cs_wid[c], ts.cs_feat[c])[:, :, None, None]
+    wf = expand_wf(weights, _tc(ts.cs_wid, c, (B, D)),
+                   cs_feat_c)[:, :, None, None]
     contrib = wf * phi
     if info.has_sparse_cw:
         # sparse per-combination weights: the incident factor contributes
@@ -289,7 +319,7 @@ def color_logits_mc(dg, ts, ti, values, weights, c, info,
         # at own slots, gathered value at neighbor slots); table misses
         # land on the reserved zero weight, so no mask is needed.  Missing
         # candidate rows (k >= card) are killed later by cm_kmask.
-        stride = ts.cs_cwstride[c]                     # [B, D, A]
+        stride = _tc(ts.cs_cwstride, c, (B, D, A))     # [B, D, A]
         s_own = jnp.sum(jnp.where(is_mine, stride, 0),
                         axis=-1).astype(jnp.int32)     # [B, D]
         if vals_raw is None:
@@ -299,13 +329,13 @@ def color_logits_mc(dg, ts, ti, values, weights, c, info,
                 stride[..., :A1, None].astype(jnp.int32)
                 * vals_raw.astype(jnp.int32), axis=-2)  # [B, D, NC]
         T = dg.cwt_wid.shape[0]
-        m = (ts.cs_cwbase[c][:, :, None, None]
+        m = (_tc(ts.cs_cwbase, c, (B, D))[:, :, None, None]
              + s_own[:, :, None, None] * ks[None, None, :, None]
              + nbr_sum[:, :, None, :])
         swid = dg.cwt_wid[jnp.clip(m, 0, T - 1)]
-        sc = expand_wf(weights, swid) * ts.cs_feat[c][:, :, None, None]
-        contrib = jnp.where(ts.cs_issparse[c][:, :, None, None], sc,
-                            contrib)
+        sc = expand_wf(weights, swid) * cs_feat_c[:, :, None, None]
+        contrib = jnp.where(
+            _tc(ts.cs_issparse, c, (B, D))[:, :, None, None], sc, contrib)
     return jnp.sum(contrib, axis=1)                    # [B, K, NC]
 
 
@@ -320,9 +350,12 @@ def color_delta_bool(ts, ti, values, weights, c, info,
     uniform-sigmoid draw this is distribution-identical to Gumbel-argmax
     over two candidates.
     """
+    from ..compile import tier_geom
+
+    B, D, A = tier_geom(ts, ti, info.n_colors)
     nbr_lit, pos, _, _ = _nbr_lits(ts, ti, values, c, info, modes)
-    msk = ts.cs_mask[c]
-    ismine = ts.cs_ismine[c]
+    msk = _tc(ts.cs_mask, c, (B, D, A))
+    ismine = _tc(ts.cs_ismine, c, (B, D, A))
     A1 = nbr_lit.shape[-2]
     present = ti.present_funcs or info.present_funcs
 
@@ -331,10 +364,10 @@ def color_delta_bool(ts, ti, values, weights, c, info,
     ownm = ismine & msk
     o1 = jnp.sum(ownm & pos, axis=-1).astype(jnp.int32)[..., None]  # [B,D,1]
     o0 = jnp.sum(ownm, axis=-1).astype(jnp.int32)[..., None] - o1
-    n = ts.cs_arity[c][..., None]
+    n = _tc(ts.cs_arity, c, (B, D))[..., None]
 
     if _need_head(present):
-        hmask = ts.cs_hmask[c]
+        hmask = _tc(ts.cs_hmask, c, (B, D, A))
         head_own = jnp.any(hmask & ismine, axis=-1)[..., None]
         headpos = jnp.any(hmask & ismine & pos, axis=-1)[..., None]
         hl = jnp.any(nbr_lit & (hmask & ~ismine)[..., :A1, None], axis=-2)
@@ -343,10 +376,11 @@ def color_delta_bool(ts, ti, values, weights, c, info,
     else:
         head1 = head0 = None
 
-    f_type = ts.cs_type[c][..., None]
+    f_type = _tc(ts.cs_type, c, (B, D))[..., None]
     phi1 = _phi_from_counts(nl + o1, head1, n, f_type, present)
     phi0 = _phi_from_counts(nl + o0, head0, n, f_type, present)
-    wf = expand_wf(weights, ts.cs_wid[c], ts.cs_feat[c])[..., None]
+    wf = expand_wf(weights, _tc(ts.cs_wid, c, (B, D)),
+                   _tc(ts.cs_feat, c, (B, D)))[..., None]
     return jnp.sum(wf * (phi1 - phi0), axis=1)                # [B, NC]
 
 
@@ -365,9 +399,9 @@ def prepare_fold(dg, weights, info, modes):
 
     def fold_one(ts, ti):
         if ti.affine2:
-            return fold_affine(ts, w, ti.band_tb)
+            return fold_affine(ts, ti, info.n_colors, w)
         if ti.affinek:
-            return fold_affine_cat(ts, w, ti.band_tb)
+            return fold_affine_cat(ts, ti, info.n_colors, w)
         return None
 
     return tuple(fold_one(ts, ti) for ts, ti in zip(dg.tiers, info.tiers))
@@ -389,7 +423,7 @@ def hub_color_draw(dg, ts, ti, values, weights, key, c, info, modes):
         return (u < jax.nn.sigmoid(delta)).astype(values.dtype)
     logits = color_logits_mc(dg, ts, ti, values, weights, c, info, modes)
     logits = jax.ops.segment_sum(logits, row, num_segments=Bh + 1)[:Bh]
-    masked = logits + ts.cm_kmask[c][:, :, None]
+    masked = logits + _tc(ts.cm_kmask, c, (Bh, info.max_card))[:, :, None]
     g = jax.random.gumbel(key, masked.shape, dtype=masked.dtype)
     return jnp.argmax(masked + g, axis=1).astype(values.dtype)
 
@@ -402,31 +436,33 @@ def color_draw_tier(dg, ts, ti, values, weights, key, c, info,
                               modes)
     if folded_t is not None and tier_modes(ti, modes)[1] != "off":
         seed = jax.lax.bitcast_convert_type(key, jnp.int32).reshape(-1)[:2]
-        D = ts.cs_mask.shape[2]
+        D = ti.degree
         if ti.affine2:
             from ..ops.fused import fused_color_draw
 
-            return fused_color_draw(values, ts.bd_nbr[c], ts.bd_start[c],
-                                    folded_t[0][c], folded_t[1][c], seed,
+            # full streams + the color as a scalar prefetch: slicing
+            # [C, nt, R] per color copied the whole stream once per color
+            # step (round-5 layout fix)
+            return fused_color_draw(values, ts.bd_nbr, ts.bd_start[c],
+                                    folded_t[0], folded_t[1], c, seed,
                                     ti.band_w, ti.band_tb, D,
                                     interpret=(modes[1] == "interpret"))
         from ..ops.fused import fused_cat_draw
 
         K = info.max_card
         TB = ti.band_tb
-        nt = ts.cm_kmask.shape[1] // TB    # LOCAL tiles (graph sharding)
-        kmask = ts.cm_kmask[c].reshape(nt, TB, K)
-        return fused_cat_draw(values, ts.bd_nbr[c], ts.bd_start[c],
-                              ts.bd_eqo[c], ts.bd_eqn[c],
-                              folded_t[0][c], folded_t[1][c], kmask, seed,
-                              ti.band_w, TB, D, K,
+        return fused_cat_draw(values, ts.bd_nbr, ts.bd_start[c],
+                              ts.bd_eqo, ts.bd_eqn,
+                              folded_t[0], folded_t[1], folded_t[2], c,
+                              seed, ti.band_w, TB, D, K,
                               interpret=(modes[1] == "interpret"))
     if info.all_boolean and info.max_card == 2:
         delta = color_delta_bool(ts, ti, values, weights, c, info, modes)
         u = jax.random.uniform(key, delta.shape, dtype=delta.dtype)
         return (u < jax.nn.sigmoid(delta)).astype(values.dtype)
     logits = color_logits_mc(dg, ts, ti, values, weights, c, info, modes)
-    masked = logits + ts.cm_kmask[c][:, :, None]
+    masked = logits + _tc(ts.cm_kmask, c,
+                          (logits.shape[0], info.max_card))[:, :, None]
     g = jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
     return jnp.argmax(masked + g, axis=1).astype(values.dtype)
 
@@ -551,10 +587,16 @@ def run_inference_mc(dg, values, weights, key, n_sweeps: int,
 
 def mc_factor_phis(dg, values, info):
     """φ for every factor in every chain: [F', NC] (values [P, NC])."""
-    vals = values[dg.f_vids]                           # [F', A, NC]
-    eq = dg.f_eqpred[..., None].astype(values.dtype)
-    lits = (vals == eq) == dg.f_ispos[..., None]
-    return _eval_phi_ax2(lits, dg.f_mask[..., None],
+    from ..compile import factor_records
+
+    f_vids, f_ispos, f_eqpred, f_mask = factor_records(dg)
+    NC = values.shape[-1]
+    # flat-index gather (f_vids is stored 1-D on device — a [F', A] index
+    # operand would tile-pad 128/A at rest and in the gather temp)
+    vals = values[f_vids.reshape(-1)].reshape(f_vids.shape + (NC,))
+    eq = f_eqpred[..., None].astype(values.dtype)
+    lits = (vals == eq) == f_ispos[..., None]
+    return _eval_phi_ax2(lits, f_mask[..., None],
                          dg.f_type[:, None],
                          dg.f_arity[:, None],
                          info.present_funcs)
@@ -565,8 +607,16 @@ def sparse_comb_wids(dg, values):
 
     values [P] or [P, NC] → wid of the SAME trailing shape [F'(, NC)];
     non-sparse factors map to the reserved zero-weight slot."""
-    vals = values[dg.f_vids].astype(jnp.int32)         # [F', A(, NC)]
-    stride = dg.f_cwstride if values.ndim == 1 else dg.f_cwstride[..., None]
+    from ..compile import factor_records
+
+    f_vids = factor_records(dg)[0]
+    Fp, A = f_vids.shape
+    tail = () if values.ndim == 1 else (values.shape[-1],)
+    vals = values[f_vids.reshape(-1)].astype(jnp.int32) \
+        .reshape((Fp, A) + tail)                       # [F', A(, NC)]
+    f_cwstride = (dg.f_cwstride if dg.f_cwstride.ndim == 2
+                  else dg.f_cwstride.reshape(Fp, -1))
+    stride = f_cwstride if values.ndim == 1 else f_cwstride[..., None]
     base = dg.f_cwbase if values.ndim == 1 else dg.f_cwbase[:, None]
     m = base + jnp.sum(stride * vals, axis=1)
     T = dg.cwt_wid.shape[0]
@@ -604,7 +654,9 @@ def _phi_streams(values, ownv, nbr, pos, eq, ismine, msk, typ, ar, hmask,
             vals = banded_gather(values, nbr2, bd_start_c, ti.band_w, band)
         vals = vals.reshape(rows, D, A1, NC)
     else:
-        vals = values[nbr]
+        # flat-index gather (no tile-padded [rows, D, A1] index temp)
+        rows, D = nbr.shape[0], nbr.shape[1]
+        vals = values[nbr.reshape(-1)].reshape(rows, D, A1, NC)
     if eq is None:
         # counts-based boolean path (mirrors color_delta_bool): reduce the
         # slot axis IMMEDIATELY instead of materializing the concatenated
@@ -695,9 +747,28 @@ def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
     # and every cs_* slice is read once instead of twice); phi splits back
     # below.  2NC stays lane-aligned whenever NC was.
     v_both = jnp.concatenate([v_ev, v_free], axis=-1)
+    from ..compile import tier_geom
+
     for ts, ti in zip(dg.tiers, info.tiers):
-        C, Bl, D, A = ts.cs_mask.shape       # Bl = local tier rows
+        C = info.n_colors
+        Bl, D, A = tier_geom(ts, ti, C)      # Bl = local tier rows
         A1 = A - 1
+
+        def dsr(arr, c, r0, rc, tail, Bl=Bl):
+            """Row-chunk slice [rc, *tail] of one tier stream at (color c,
+            row r0) — flat 1-D at-rest, [C, N] graph-shard local, or
+            legacy multi-D storage (see _tc)."""
+            ntail = 1
+            for s in tail:
+                ntail *= s
+            if arr.ndim == 1:
+                return ds(arr, ((c * Bl + r0) * ntail,),
+                          (rc * ntail,)).reshape((rc,) + tail)
+            if arr.ndim == 2 and arr.shape[1] == Bl * ntail:
+                return ds(arr, (c, r0 * ntail),
+                          (1, rc * ntail))[0].reshape((rc,) + tail)
+            return ds(arr, (c, r0) + (0,) * len(tail),
+                      (1, rc) + tail)[0]
         present = ti.present_funcs or info.present_funcs
         band = tier_modes(ti, modes)[0]
         use_kernel = (GRAD_MODE == "kernel"
@@ -714,8 +785,8 @@ def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
             coefsrc = ts.gd_cown if learn_non_evidence else ts.gd_ctch
             for c in range(C):
                 parts = grad_pair_tile(
-                    v_both, ts.bd_nbr[c], ts.bd_start[c], ts.gd_meta[c],
-                    ts.gd_wid[c], coefsrc[c], own0=c * gB + ti.off,
+                    v_both, ts.bd_nbr, ts.bd_start[c], ts.gd_meta,
+                    ts.gd_wid, coefsrc, c, own0=c * gB + ti.off,
                     W=ti.band_w, TB=ti.band_tb, D=D, n_weights=W,
                     present=present, interpret=(band == "interpret"))
                 grad = grad + jnp.sum(parts, axis=(0, 1))[:W] / NC
@@ -732,15 +803,15 @@ def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
                  TB=TB, ntc=ntc, present=present):
             c = i // nch
             r0 = (i % nch) * rc
-            nbr = ds(ts.cs_nbr, (c, r0, 0, 0), (1, rc, D, A1))[0]
-            pos = ds(ts.cs_pos, (c, r0, 0, 0), (1, rc, D, A))[0]
+            nbr = dsr(ts.cs_nbr, c, r0, rc, (D, A1))
+            pos = dsr(ts.cs_pos, c, r0, rc, (D, A))
             eq = (None if all_bool
-                  else ds(ts.cs_eq, (c, r0, 0, 0), (1, rc, D, A))[0])
-            ismine = ds(ts.cs_ismine, (c, r0, 0, 0), (1, rc, D, A))[0]
-            msk = ds(ts.cs_mask, (c, r0, 0, 0), (1, rc, D, A))[0]
-            hmask = ds(ts.cs_hmask, (c, r0, 0, 0), (1, rc, D, A))[0]
-            typ = ds(ts.cs_type, (c, r0, 0), (1, rc, D))[0]
-            ar = ds(ts.cs_arity, (c, r0, 0), (1, rc, D))[0]
+                  else dsr(ts.cs_eq, c, r0, rc, (D, A)))
+            ismine = dsr(ts.cs_ismine, c, r0, rc, (D, A))
+            msk = dsr(ts.cs_mask, c, r0, rc, (D, A))
+            hmask = dsr(ts.cs_hmask, c, r0, rc, (D, A))
+            typ = dsr(ts.cs_type, c, r0, rc, (D,))
+            ar = dsr(ts.cs_arity, c, r0, rc, (D,))
             if ti.band_w and ti.band_k >= 2:
                 bd_c = ds(ts.bd_start, (c, r0 // TB, 0),
                           (1, ntc, ti.band_k))[0]
@@ -771,13 +842,13 @@ def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
                 nbrv_e, nbrv_f = nbrv[..., :NC], nbrv[..., NC:]
             own_e, own_f = own[..., :NC], own[..., NC:]
             gsrc = ts.cs_gowner if learn_non_evidence else ts.cs_gtouch
-            gm = ds(gsrc, (c, r0, 0), (1, rc, D))[0]
-            feat = ds(ts.cs_feat, (c, r0, 0), (1, rc, D))[0]
-            wid = ds(ts.cs_wid, (c, r0, 0), (1, rc, D))[0]
+            gm = dsr(gsrc, c, r0, rc, (D,))
+            feat = dsr(ts.cs_feat, c, r0, rc, (D,))
+            wid = dsr(ts.cs_wid, c, r0, rc, (D,))
             diff = jnp.mean(phi_e - phi_f, axis=-1) * feat
             diff = jnp.where(gm, diff, 0.0)
             if info.has_sparse_cw:
-                issp = ds(ts.cs_issparse, (c, r0, 0), (1, rc, D))[0]
+                issp = dsr(ts.cs_issparse, c, r0, rc, (D,))
                 diff = jnp.where(issp, 0.0, diff)
             grad = grad + segment_reduce(diff, wid, W)
             if info.has_sparse_cw:
@@ -785,8 +856,8 @@ def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
                 # owner record contributes +feat at wid(ev world) and −feat
                 # at wid(free world) — a table lookup identical to the draw
                 # path's (candidate → own value)
-                base = ds(ts.cs_cwbase, (c, r0, 0), (1, rc, D))[0]
-                stride = ds(ts.cs_cwstride, (c, r0, 0, 0), (1, rc, D, A))[0]
+                base = dsr(ts.cs_cwbase, c, r0, rc, (D,))
+                stride = dsr(ts.cs_cwstride, c, r0, rc, (D, A))
                 s_own = jnp.sum(jnp.where(ismine, stride, 0),
                                 axis=-1).astype(jnp.int32)       # [rc, D]
                 T = dg.cwt_wid.shape[0]
@@ -833,11 +904,14 @@ def mc_weight_gradient(dg, v_ev, v_free, learn_non_evidence: bool, info,
 def _mc_weight_gradient_factors(dg, v_ev, v_free, learn_non_evidence: bool,
                                 info):
     """Weight gradient averaged over the chain axis of [P, NC] worlds."""
+    from ..compile import factor_records
+
     issparse = dg.f_cwbase[:, None] >= 0 if info.has_sparse_cw else False
     diff = dg.f_feat[:, None] * (mc_factor_phis(dg, v_ev, info)
                                  - mc_factor_phis(dg, v_free, info))
     if not learn_non_evidence:
-        touches_ev = jnp.any((dg.var_role[dg.f_vids] == 1) & dg.f_mask,
+        f_vids, _, _, f_mask = factor_records(dg)
+        touches_ev = jnp.any((dg.var_role[f_vids] == 1) & f_mask,
                              axis=-1)[:, None]
     else:
         touches_ev = True

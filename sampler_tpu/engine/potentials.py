@@ -89,6 +89,9 @@ def factor_phis(dg, values, present=None):
     dg: DeviceGraph, values: int32 [V+1].  Returns float32 [F+1]
     (dummy row's φ is irrelevant — its feature is 0).
     """
-    vals = values[dg.f_vids]                       # [F', A]
-    lits = literals(vals, dg.f_eqpred, dg.f_ispos)
-    return eval_phi(lits, dg.f_mask, dg.f_type, dg.f_arity, present)
+    from ..compile import factor_records
+
+    f_vids, f_ispos, f_eqpred, f_mask = factor_records(dg)
+    vals = values[f_vids.reshape(-1)].reshape(f_vids.shape)   # [F', A]
+    lits = literals(vals, f_eqpred, f_ispos)
+    return eval_phi(lits, f_mask, dg.f_type, dg.f_arity, present)

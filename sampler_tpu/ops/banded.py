@@ -95,75 +95,134 @@ def plan_banding(cs_nbr: np.ndarray, P: int, tb: int, w_max: int = 8192):
             lo.astype(np.int32), (hi + 1).astype(np.int32))
 
 
+def _greedy_starts(idx_sorted: np.ndarray, nreal: np.ndarray, W: int,
+                   P: int, k_cap: int):
+    """Greedy interval partition per tile: the minimum set of aligned
+    width-W windows covering each tile's sorted read positions (classic
+    greedy is optimal for fixed W).  idx_sorted [T, R] ascending with
+    sentinels (>= P) sorted last; nreal [T] real entries per tile.
+
+    Returns (starts int64 [T, k_cap] ascending — unused slots repeat the
+    last real start so the (p >= starts) remap rule stays monotone,
+    nwin int64 [T]) or (None, None) when some tile needs > k_cap windows.
+    """
+    T = idx_sorted.shape[0]
+    starts = np.zeros((T, k_cap), np.int64)
+    nwin = np.zeros(T, np.int64)
+    thr = np.full(T, -1, np.int64)          # covered positions <= thr
+    rows = np.arange(T)
+    for j in range(k_cap + 1):
+        cnt = (idx_sorted <= thr[:, None]).sum(axis=-1)
+        need = cnt < nreal
+        if not need.any():
+            break
+        if j == k_cap:
+            return None, None               # over budget at this W
+        p = idx_sorted[rows, np.minimum(cnt, idx_sorted.shape[1] - 1)]
+        start = (p // START_ALIGN) * START_ALIGN
+        start = np.clip(start, 0, max(P - W, 0))
+        starts[need, j:] = start[need, None]   # fill tail (ascending pad)
+        nwin[need] = j + 1
+        thr = np.where(need, start + W - 1, thr)
+    return starts, nwin
+
+
 def plan_banding_multi(cs_nbr: np.ndarray, P: int, tb: int, w_max: int,
-                       block_B: int, n_blocks: int, k_max: int = 8):
-    """MULTI-WINDOW window analysis for multi-color graphs.
+                       k_max: int = 8, kw_max: int = 8192):
+    """MULTI-WINDOW window analysis for multi-color / irregular graphs.
 
     A single contiguous window cannot cover a tile's reads when its
-    neighbors live in several color blocks (any graph with >2 colors): the
-    blocks are B apart in position space.  But WITHIN each source color
-    block the reads are still local (after an RCM-style ordering), so each
-    tile gets up to K windows — one per source color block it reads — and
-    the gather becomes ONE one-hot matmul against the K windows
-    concatenated in VMEM.  Neighbor indices are REMAPPED at compile time
-    into the concatenated window space (rnbr = j*W + idx - start_j), which
-    makes double-counting impossible by construction and keeps the kernel
-    a single equality-iota + dot.
+    neighbors live in several color blocks (any graph with >2 colors).
+    Windows are planned by GREEDY INTERVAL CLUSTERING of each tile's
+    sorted read positions — segment-structure-agnostic, so reads into
+    adjacent color blocks share one window and a ~20-color KBC graph
+    stays within the K <= k_max budget (the round-4 per-source-block
+    scheme needed K == #blocks-read and gave up beyond 8, turning the MXU
+    gather off on exactly the reference's home workload).  The gather is
+    ONE one-hot matmul against the K windows concatenated in VMEM;
+    neighbor indices are REMAPPED at compile time into the concatenated
+    window space (rnbr = j*W + idx - start_j), which makes
+    double-counting impossible by construction and keeps the kernel a
+    single equality-iota + dot.  W is chosen over power-of-two candidates
+    to minimize the per-tile gather volume K*W.
 
     Returns (starts [C, ntiles, K] int32 DMA starts, W int, K int,
              rnbr [C, ntiles, R] int32 remapped indices,
              lo [C, ntiles], hi [C, ntiles] true GLOBAL read bounds)
-    or (None, 0, 0, None, lo, hi) when not applicable.
+    or (None, 0, 0, None, lo, hi) when not applicable.  ``kw_max`` bounds
+    the per-tile gather volume K*W: the one-hot matmul spends K*W*NC*2
+    FLOPs per gathered row, which crosses the plain gather's ~11-19 ns
+    issue cost around K*W ~ 8k at NC = 128 — wider coverage (e.g. a
+    scrambled-id graph whose greedy windows degenerate to the whole
+    position space) must fall back to the row gather.
     """
     C, B, D, A1 = cs_nbr.shape
     if A1 == 0 or B % tb != 0 or P < LANE:
         return None, 0, 0, None, None, None
+    kw_max = min(kw_max, P + LANE)
     ntiles = B // tb
     R = tb * D * A1
     dummy = P - 1
     lo_g = np.empty((C, ntiles), np.int32)
     hi_g = np.empty((C, ntiles), np.int32)
-    # pass 1: per-(tile, source block) bounds, one color at a time
-    lob = np.full((C, ntiles, n_blocks), np.int64(P))
-    hib = np.full((C, ntiles, n_blocks), np.int64(-1))
+    # pass 1: per-color sorted read positions (sentinel P+1 sorts last)
+    srt = []
+    nreal = np.empty((C, ntiles), np.int64)
     for c in range(C):
         idx = cs_nbr[c].reshape(ntiles, R).astype(np.int64)
         real = idx != dummy
         lo_g[c] = np.where(real, idx, P).min(axis=-1)
         hi_g[c] = np.where(real, idx, -1).max(axis=-1)
-        blk = np.clip(idx // block_B, 0, n_blocks - 1)
-        for b in range(n_blocks):
-            sel = real & (blk == b)
-            lob[c, :, b] = np.where(sel, idx, P).min(axis=-1)
-            hib[c, :, b] = np.where(sel, idx, -1).max(axis=-1)
-    active = lob <= hib                       # [C, ntiles, n_blocks]
-    K = int(active.sum(axis=-1).max()) if active.any() else 0
-    if K == 0 or K > k_max:
+        nreal[c] = real.sum(axis=-1)
+        srt.append(np.sort(np.where(real, idx, np.int64(P + 1)), axis=-1))
+
+    # pass 2: pick W — smallest per-tile gather volume K(W)*W that fits
+    wcands, w = [], LANE * 4
+    w_hi = min(w_max, _round_up(P, LANE))
+    while w <= w_hi:
+        wcands.append(w)
+        w *= 2
+    if w_hi not in wcands and w_hi >= LANE:
+        wcands.append(w_hi)
+    best = None                         # (cost, W, starts per color, K)
+    for Wc in wcands:
+        per_c, kmax_c, ok = [], 0, True
+        for c in range(C):
+            st, nw = _greedy_starts(srt[c], nreal[c], Wc, P, k_max)
+            if st is None:
+                ok = False
+                break
+            per_c.append(st)
+            kmax_c = max(kmax_c, int(nw.max()))
+        if not ok or kmax_c == 0 or kmax_c * Wc > kw_max:
+            continue
+        cost = kmax_c * Wc
+        if best is None or cost < best[0]:
+            best = (cost, Wc, per_c, kmax_c)
+    if best is None:
         return None, 0, 0, None, lo_g, hi_g + 1
-    astart = (np.where(active, lob, 0) // START_ALIGN) * START_ALIGN
-    spread = int(np.where(active, hib - astart + 1, 1).max())
-    W = _round_up(spread, LANE)
-    if W > min(w_max, P) or K * W > P + LANE:
-        return None, 0, 0, None, lo_g, hi_g + 1
-    astart = np.clip(astart, 0, P - W)
-    # compaction: the j-th active block of a tile takes window slot j
-    slot = np.cumsum(active, axis=-1) - 1     # [C, ntiles, n_blocks]
+    _, W, per_c, K = best
+
+    # pass 3: remap neighbor indices into the concatenated window space
     starts = np.zeros((C, ntiles, K), np.int32)
-    cc, tt, bb = np.nonzero(active)
-    starts[cc, tt, slot[cc, tt, bb]] = astart[cc, tt, bb]
-    # pass 2: remap neighbor indices into the concatenated window space
     rnbr = np.empty((C, ntiles, R), np.int32)
     for c in range(C):
+        st = per_c[c][:, :K]                          # [ntiles, K] asc
+        starts[c] = st.astype(np.int32)
         idx = cs_nbr[c].reshape(ntiles, R).astype(np.int64)
         real = idx != dummy
-        blk = np.clip(idx // block_B, 0, n_blocks - 1)
-        t_of = np.broadcast_to(np.arange(ntiles)[:, None], idx.shape)
-        j = slot[c, t_of, blk]
-        s = astart[c, t_of, blk]
+        # last window with start <= idx; covered by construction (greedy
+        # coverage proof: idx <= thr_j of the window that admitted it, and
+        # any LATER window with start <= idx also spans it since starts
+        # ascend and windows are W wide)
+        j = (idx[:, :, None] >= st[:, None, :]).sum(axis=-1) - 1
+        j = np.maximum(j, 0)
+        s = np.take_along_axis(st, j, axis=1)
         rnbr[c] = np.where(real, j * np.int64(W) + idx - s,
                            np.int64(K * W)).astype(np.int32)
-        assert (rnbr[c][real.nonzero()] < K * W).all()
-        assert (rnbr[c] >= 0).all()
+        r = real.nonzero()
+        assert (rnbr[c][r] < K * W).all() and (rnbr[c] >= 0).all()
+        assert ((idx - s)[r] < W).all() and ((idx - s)[r] >= 0).all()
     return starts, W, K, rnbr, lo_g, hi_g + 1
 
 

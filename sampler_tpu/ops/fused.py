@@ -119,26 +119,33 @@ def affine_pairwise(cs_pos, cs_mask, cs_ismine, cs_hmask, cs_type,
 # runtime weight fold (XLA, jit-able; once per weights value)
 # --------------------------------------------------------------------------
 
-def fold_affine(ts, weights, band_tb: int):
-    """(beta [C, ntiles, 1, D*TB] d-major, base [C, ntiles, TB, 1]) for one
-    tier's streams (``ts``: compile.TierStreams; band_tb: TierInfo.band_tb).
-    """
+def fold_affine(ts, ti, C: int, weights):
+    """(beta [C, ntiles, D*TB] d-major, base [C, ntiles, TB]) for one
+    tier's streams (``ts``: compile.TierStreams, ``ti``: TierInfo).
+
+    Works on every stream layout (flat at-rest 1-D, per-color 2-D,
+    legacy multi-D): the inputs are elementwise in record order, and the
+    output reshapes see the same row-major element order either way.
+    Output layouts keep the last two dims large (no (8, 128) tile-padding
+    blowup at rest: a [.., TB, 1] base padded 128x, a [.., 1, R] beta 8x);
+    the kernels read blocks (1, 1, R) / (1, 1, TB) at (c, t, 0)."""
     import jax.numpy as jnp
 
+    from ..compile import tier_geom
     from .weights import expand_wf
 
+    B, D, _ = tier_geom(ts, ti, C)
     # scatter-free weight expansion: the plain weights[cs_wid] row gather
     # over C*B*D rows is issue-rate bound and cost 1.7x a whole fused sweep
     # per epoch (profile_learn, r2 #8)
-    wf = expand_wf(weights, ts.cs_wid, ts.cs_feat)     # [C, B, D]
-    beta = wf * ts.ab_b
-    base = jnp.sum(wf * ts.ab_a, axis=-1)              # [C, B]
-    C, B, D = wf.shape
-    TB = band_tb
+    wf = expand_wf(weights, ts.cs_wid, ts.cs_feat)     # record order
+    beta = (wf * ts.ab_b).reshape(C, B, D)
+    base = jnp.sum((wf * ts.ab_a).reshape(C, B, D), axis=-1)   # [C, B]
+    TB = ti.band_tb
     nt = B // TB
     beta = beta.reshape(C, nt, TB, D).transpose(0, 1, 3, 2) \
-               .reshape(C, nt, 1, D * TB)
-    base = base.reshape(C, nt, TB, 1)
+               .reshape(C, nt, D * TB)
+    base = base.reshape(C, nt, TB)
     return beta, base
 
 
@@ -185,27 +192,32 @@ def affine_cat(cs_pos, cs_mask, cs_ismine, cs_hmask, cs_type, present=None):
     return a.astype(np.float32), b.astype(np.float32)
 
 
-def fold_affine_cat(ts, weights, band_tb: int):
-    """(av, bv) row-d-major [C, ntiles, 1, D*TB] float32 for one tier's
-    K-candidate fused step: the compile-time (a, b) coefficients scaled by
-    wf = weights[wid]*feat.  Called once per weights value (outside the
-    sweep loops)."""
+def fold_affine_cat(ts, ti, C: int, weights):
+    """(av, bv, kmask) for one tier's K-candidate fused step: av/bv
+    row-d-major [C, ntiles, D*TB] f32 — the compile-time (a, b)
+    coefficients scaled by wf = weights[wid]*feat — plus the draw mask in
+    kernel block layout [C, ntiles, TB, K] (built here, NOT stored at rest:
+    a K-minor array tile-pads 128/K in HBM, so cm_kmask lives flat and only
+    this per-fold working copy pays the padding).  Called once per weights
+    value (outside the sweep loops)."""
     import jax.numpy as jnp
 
+    from ..compile import tier_geom
     from .weights import expand_wf
 
-    wf = expand_wf(weights, ts.cs_wid, ts.cs_feat)     # [C, B, D]
-    av = wf * ts.cs_cka
-    bv = wf * ts.cs_ckb
-    C, B, D = wf.shape
-    TB = band_tb
+    B, D, _ = tier_geom(ts, ti, C)
+    wf = expand_wf(weights, ts.cs_wid, ts.cs_feat)     # record order
+    av = (wf * ts.cs_cka).reshape(C, B, D)
+    bv = (wf * ts.cs_ckb).reshape(C, B, D)
+    TB = ti.band_tb
     nt = B // TB
 
     def row(x):
         return (x.reshape(C, nt, TB, D).transpose(0, 1, 3, 2)
-                 .reshape(C, nt, 1, D * TB))
+                 .reshape(C, nt, D * TB))
 
-    return row(av), row(bv)
+    kmask = jnp.reshape(ts.cm_kmask, (C, nt, TB, -1))
+    return row(av), row(bv), kmask
 
 
 def fused_mode() -> str:
@@ -263,8 +275,8 @@ def _portable_bits(shape, s0, s1):
     return mix(x ^ jnp.asarray(s1).astype(jnp.uint32))
 
 
-def _fused_kernel(starts_ref, seed_ref, nbr_ref, beta_ref, base_ref,
-                  values_ref, out_ref, win_ref, sem,
+def _fused_kernel(starts_ref, seed_ref, coff_ref, nbr_ref, beta_ref,
+                  base_ref, values_ref, out_ref, win_ref, sem,
                   *, W: int, TB: int, D: int, split_bf16: bool,
                   interpret: bool):
     import jax
@@ -311,7 +323,10 @@ def _fused_kernel(starts_ref, seed_ref, nbr_ref, beta_ref, base_ref,
         delta = jax.lax.dot_general(
             M, wv, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)        # [TB, NC]
-    delta = delta + base_ref[0]                        # [TB, 1] broadcast
+    # base arrives as a [1, TB] row (block (1, 1, TB) of the [C, nt, TB]
+    # fold — a [.., TB, 1] layout would tile-pad 128x at rest); transpose
+    # to a column in VMEM for the per-row broadcast
+    delta = delta + base_ref[0].reshape(TB, 1)
 
     if interpret:
         bits = _portable_bits(delta.shape, seed_ref[0], tseed)
@@ -327,36 +342,44 @@ def _fused_kernel(starts_ref, seed_ref, nbr_ref, beta_ref, base_ref,
     out_ref[:] = (u < jax.nn.sigmoid(delta)).astype(out_ref.dtype)
 
 
-def fused_color_draw(values, nbr_dmaj, starts, beta, base, seed,
+def fused_color_draw(values, nbr_dmaj, starts, beta, base, c, seed,
                      W: int, TB: int, D: int,
                      interpret: bool = False, split_bf16: bool = True):
-    """Run the fused color step.
+    """Run the fused color step for color ``c``.
 
-    values [P, NC] int8;  nbr_dmaj [ntiles, 1, D*TB] int32 (global
-    positions, d-major within tile);  starts [ntiles] int32;
-    beta [ntiles, 1, D*TB] f32;  base [ntiles, TB, 1] f32;
-    seed int32[2].  Returns drawn values [ntiles*TB, NC] int8.
+    values [P, NC] int8;  nbr_dmaj [C, ntiles, D*TB] int32 (ALL colors —
+    global positions, d-major within tile);  starts [ntiles] int32 (this
+    color's window starts);  beta [C, ntiles, D*TB] f32;
+    base [C, ntiles, TB] f32;  c int32 scalar (traced ok);  seed int32[2].
+    Returns drawn values [ntiles*TB, NC] int8.
+
+    The color is a SCALAR-PREFETCH operand read by the block index maps
+    ((c, t, 0)), so no per-color slice of the big streams is ever
+    materialized — slicing [C, nt, R] per color inside the sweep loop
+    copied the whole stream once per color step (HBM bandwidth the matmuls
+    then starve for).
     """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    ntiles = nbr_dmaj.shape[0]
+    ntiles = nbr_dmaj.shape[1]
     R = D * TB
     P, NC = values.shape
+    coff = jnp.reshape(jnp.asarray(c, jnp.int32), (1,))
     kern = partial(_fused_kernel, W=W, TB=TB, D=D, split_bf16=split_bf16,
                    interpret=interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # nbr
-            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # beta
-            pl.BlockSpec((1, TB, 1), lambda t, s, z: (t, 0, 0)),  # base
+            pl.BlockSpec((1, 1, R), lambda t, s, z, co: (co[0], t, 0)),
+            pl.BlockSpec((1, 1, R), lambda t, s, z, co: (co[0], t, 0)),
+            pl.BlockSpec((1, 1, TB), lambda t, s, z, co: (co[0], t, 0)),
             pl.BlockSpec(memory_space=pl.ANY),                    # values
         ],
-        out_specs=pl.BlockSpec((TB, NC), lambda t, s, z: (t, 0)),
+        out_specs=pl.BlockSpec((TB, NC), lambda t, s, z, co: (t, 0)),
         scratch_shapes=[
             pltpu.VMEM((W, NC), values.dtype),
             pltpu.SemaphoreType.DMA(()),
@@ -369,22 +392,22 @@ def fused_color_draw(values, nbr_dmaj, starts, beta, base, seed,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (ntiles * TB, NC), values.dtype,
-            vma=out_vma(values, nbr_dmaj, starts, beta, base, seed)),
+            vma=out_vma(values, nbr_dmaj, starts, beta, base, seed, coff)),
         cost_estimate=pl.CostEstimate(
             flops=2 * ntiles * TB * W * NC * (2 if split_bf16 else 1),
             transcendentals=ntiles * TB * NC,
             bytes_accessed=int(ntiles * (R * 8 + W * NC + TB * NC))),
         interpret=interpret,
-    )(starts, seed, nbr_dmaj, beta, base, values)
+    )(starts, seed, coff, nbr_dmaj, beta, base, values)
 
 
 # --------------------------------------------------------------------------
 # K-candidate (categorical) fused kernel
 # --------------------------------------------------------------------------
 
-def _cat_kernel(starts_ref, seed_ref, nbr_ref, eqo_ref, eqn_ref, av_ref,
-                bv_ref, kmask_ref, values_ref, out_ref, win_ref, sem,
-                *, W: int, TB: int, D: int, K: int, interpret: bool):
+def _cat_kernel(starts_ref, seed_ref, coff_ref, nbr_ref, eqo_ref, eqn_ref,
+                av_ref, bv_ref, kmask_ref, values_ref, out_ref, win_ref,
+                sem, *, W: int, TB: int, D: int, K: int, interpret: bool):
     """One tile of the K-candidate fused color step.
 
     Per tile: DMA the value window -> one-hot MXU gather of the D*TB
@@ -434,7 +457,7 @@ def _cat_kernel(starts_ref, seed_ref, nbr_ref, eqo_ref, eqn_ref, av_ref,
         lk = mk[:TB]
         for d in range(1, D):
             lk = lk + mk[d * TB:(d + 1) * TB]          # [TB, NC]
-        lk = lk + kmask_ref[0][:, k:k + 1]
+        lk = lk + kmask_ref[0, 0][:, k:k + 1]
         if interpret:
             # distinct counter stream per candidate (the hardware PRNG
             # advances between calls; the portable hash must be re-keyed)
@@ -458,38 +481,44 @@ def _cat_kernel(starts_ref, seed_ref, nbr_ref, eqo_ref, eqn_ref, av_ref,
     out_ref[:] = best_k.astype(out_ref.dtype)
 
 
-def fused_cat_draw(values, nbr_dmaj, starts, eqo, eqn, av, bv, kmask, seed,
-                   W: int, TB: int, D: int, K: int,
+def fused_cat_draw(values, nbr_dmaj, starts, eqo, eqn, av, bv, kmask, c,
+                   seed, W: int, TB: int, D: int, K: int,
                    interpret: bool = False):
-    """Run the K-candidate fused color step for one (color, tier).
+    """Run the K-candidate fused color step for color ``c`` of one tier.
 
-    values [P, NC] int dtype; nbr_dmaj [ntiles, 1, D*TB] int32 global
-    positions (d-major); starts [ntiles] int32 window DMA starts;
-    eqo/eqn [ntiles, 1, D*TB] int32 own-candidate / neighbor equality
-    predicates (row d-major); av/bv [ntiles, 1, D*TB] f32 folded
-    coefficients; kmask [ntiles, TB, K] f32 (0 or -1e30 for k >= card);
-    seed int32[2].  Returns drawn values [ntiles*TB, NC]."""
+    values [P, NC] int dtype; nbr_dmaj [C, ntiles, D*TB] int32 global
+    positions (ALL colors, d-major); starts [ntiles] int32 this color's
+    window DMA starts; eqo/eqn [C, ntiles, D*TB] int32 own-candidate /
+    neighbor equality predicates (row d-major); av/bv [C, ntiles, D*TB]
+    f32 folded coefficients; kmask [C, ntiles, TB, K] f32 (0 or -1e30 for
+    k >= card, from fold_affine_cat); c int32 scalar; seed int32[2].
+    Returns drawn values [ntiles*TB, NC].  The color rides a scalar
+    prefetch into the index maps — no per-color stream slices in the hot
+    loop (see fused_color_draw)."""
     import jax
+    import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    ntiles = nbr_dmaj.shape[0]
+    ntiles = nbr_dmaj.shape[1]
     R = D * TB
     P, NC = values.shape
+    coff = jnp.reshape(jnp.asarray(c, jnp.int32), (1,))
     kern = partial(_cat_kernel, W=W, TB=TB, D=D, K=K, interpret=interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # nbr
-            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # eqo
-            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # eqn
-            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # av
-            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # bv
-            pl.BlockSpec((1, TB, K), lambda t, s, z: (t, 0, 0)),  # kmask
+            pl.BlockSpec((1, 1, R), lambda t, s, z, co: (co[0], t, 0)),
+            pl.BlockSpec((1, 1, R), lambda t, s, z, co: (co[0], t, 0)),
+            pl.BlockSpec((1, 1, R), lambda t, s, z, co: (co[0], t, 0)),
+            pl.BlockSpec((1, 1, R), lambda t, s, z, co: (co[0], t, 0)),
+            pl.BlockSpec((1, 1, R), lambda t, s, z, co: (co[0], t, 0)),
+            pl.BlockSpec((1, 1, TB, K),
+                         lambda t, s, z, co: (co[0], t, 0, 0)),   # kmask
             pl.BlockSpec(memory_space=pl.ANY),                    # values
         ],
-        out_specs=pl.BlockSpec((TB, NC), lambda t, s, z: (t, 0)),
+        out_specs=pl.BlockSpec((TB, NC), lambda t, s, z, co: (t, 0)),
         scratch_shapes=[
             pltpu.VMEM((W, NC), values.dtype),
             pltpu.SemaphoreType.DMA(()),
@@ -503,11 +532,11 @@ def fused_cat_draw(values, nbr_dmaj, starts, eqo, eqn, av, bv, kmask, seed,
         out_shape=jax.ShapeDtypeStruct(
             (ntiles * TB, NC), values.dtype,
             vma=out_vma(values, nbr_dmaj, starts, eqo, eqn, av, bv, kmask,
-                        seed)),
+                        seed, coff)),
         cost_estimate=pl.CostEstimate(
             flops=2 * ntiles * R * W * NC,
             transcendentals=2 * ntiles * K * TB * NC,
             bytes_accessed=int(ntiles * (R * 20 + TB * K * 4 + W * NC
                                          + TB * NC))),
         interpret=interpret,
-    )(starts, seed, nbr_dmaj, eqo, eqn, av, bv, kmask, values)
+    )(starts, seed, coff, nbr_dmaj, eqo, eqn, av, bv, kmask, values)

@@ -81,7 +81,7 @@ def _need_head(present) -> bool:
         fs.FUNC_LOGICAL))
 
 
-def _grad_kernel(starts_ref, own0_ref, nbr_ref, meta_ref, wid_ref,
+def _grad_kernel(starts_ref, own0_ref, coff_ref, nbr_ref, meta_ref, wid_ref,
                  coef_ref, values_ref, out_ref, win_ref, own_ref, sems,
                  *, W: int, TB: int, D: int, NW: int, NC2: int,
                  present: tuple, interpret: bool):
@@ -174,40 +174,43 @@ def _grad_kernel(starts_ref, own0_ref, nbr_ref, meta_ref, wid_ref,
     out_ref[0] = out
 
 
-def grad_pair_tile(v_both, nbr_dmaj, starts, meta, wid, coef, own0: int,
+def grad_pair_tile(v_both, nbr_dmaj, starts, meta, wid, coef, c, own0: int,
                    W: int, TB: int, D: int, n_weights: int,
                    present: tuple, interpret: bool = False):
-    """Per-tile gradient partials for one (color, tier).
+    """Per-tile gradient partials for color ``c`` of one tier.
 
     v_both [P, 2NC] int8 (evidence ‖ free worlds on the lane axis);
-    nbr_dmaj [ntiles, 1, D*TB] int32 global positions; starts [ntiles];
-    meta/wid [ntiles, 1, D*TB] int32; coef [ntiles, 1, D*TB] f32
-    (feat * owner-mask; row d-major); own0 = first own row of this color's
-    tier segment.  Returns [ntiles, 8, 128] f32 (partials in sublane 0,
-    zeros elsewhere) — sum over the leading two axes, take [:n_weights],
-    divide by NC outside."""
+    nbr_dmaj [C, ntiles, D*TB] int32 global positions (ALL colors);
+    starts [ntiles] (this color's window starts); meta/wid
+    [C, ntiles, D*TB] int32; coef [C, ntiles, D*TB] f32 (feat *
+    owner-mask; row d-major); c int32 scalar; own0 = first own row of this
+    color's tier segment.  Returns [ntiles, 8, 128] f32 (partials in
+    sublane 0, zeros elsewhere) — sum over the leading two axes, take
+    [:n_weights], divide by NC outside.  The color rides a scalar prefetch
+    into the index maps — no per-color stream slices."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     assert n_weights <= GRAD_W_MAX
-    ntiles = nbr_dmaj.shape[0]
+    ntiles = nbr_dmaj.shape[1]
     R = D * TB
     P, NC2 = v_both.shape
+    coff = jnp.reshape(jnp.asarray(c, jnp.int32), (1,))
     kern = partial(_grad_kernel, W=W, TB=TB, D=D, NW=n_weights, NC2=NC2,
                    present=tuple(present), interpret=interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # nbr
-            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # meta
-            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # wid
-            pl.BlockSpec((1, 1, R), lambda t, s, z: (t, 0, 0)),   # coef
+            pl.BlockSpec((1, 1, R), lambda t, s, z, co: (co[0], t, 0)),
+            pl.BlockSpec((1, 1, R), lambda t, s, z, co: (co[0], t, 0)),
+            pl.BlockSpec((1, 1, R), lambda t, s, z, co: (co[0], t, 0)),
+            pl.BlockSpec((1, 1, R), lambda t, s, z, co: (co[0], t, 0)),
             pl.BlockSpec(memory_space=pl.ANY),                    # v_both
         ],
-        out_specs=pl.BlockSpec((1, 8, 128), lambda t, s, z: (t, 0, 0)),
+        out_specs=pl.BlockSpec((1, 8, 128), lambda t, s, z, co: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((W, NC2), v_both.dtype),
             pltpu.VMEM((TB, NC2), v_both.dtype),
@@ -222,10 +225,10 @@ def grad_pair_tile(v_both, nbr_dmaj, starts, meta, wid, coef, own0: int,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (ntiles, 8, 128), jnp.float32,
-            vma=out_vma(v_both, nbr_dmaj, starts, meta, wid, coef)),
+            vma=out_vma(v_both, nbr_dmaj, starts, meta, wid, coef, coff)),
         cost_estimate=pl.CostEstimate(
             flops=2 * ntiles * R * W * NC2,
             transcendentals=0,
             bytes_accessed=int(ntiles * (R * 16 + (W + TB) * NC2 + 512))),
         interpret=interpret,
-    )(starts, own0_arr, nbr_dmaj, meta, wid, coef, v_both)
+    )(starts, own0_arr, coff, nbr_dmaj, meta, wid, coef, v_both)

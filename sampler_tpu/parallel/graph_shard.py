@@ -202,13 +202,27 @@ def sweep_gs(dg_l, values, weights, key, sample_evidence: bool, info,
     return jax.lax.fori_loop(0, C, body, values, unroll=(C <= 4))
 
 
-def shard_device_graph(dg, mesh: Mesh):
+def shard_device_graph(dg, mesh: Mesh, info=None):
     """device_put the DeviceGraph: tier streams sharded over 'graph' on
-    their B axis, everything else replicated."""
+    their record axis, everything else replicated.  Pass ``info`` when
+    ``dg`` carries flat at-rest streams (to_device) so they re-layout to
+    the per-color 2-D form the graph axis can split."""
+    if info is not None:
+        dg = _relayout_for_sharding(dg, info)
     specs = _dg_specs(dg)
     return jax.tree_util.tree_map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), dg, specs,
         is_leaf=lambda x: isinstance(x, P))
+
+
+def _relayout_for_sharding(dg, info):
+    """Per-color 2-D [C, N] stream views (compile.tiers_2d): the graph
+    axis shards axis 1, whose contiguous 1/n_graph runs are exactly each
+    device's tier-segment records (row-major).  Accepts flat (to_device)
+    or legacy host layouts."""
+    from ..compile import tiers_2d
+
+    return tiers_2d(dg, info)
 
 
 def _strip_factor_records(dg):
@@ -220,16 +234,21 @@ def _strip_factor_records(dg):
     OOM'd the host exactly this way).  Sparse-cw graphs keep cwt_wid (the
     combination→wid table, read by the sweep and the cs gradient) but drop
     the per-factor f_cwbase/f_cwstride, which only the per-factor gradient
-    path reads."""
-    A = dg.f_vids.shape[1]
+    path reads.  Placeholders keep the incoming storage layout (flat 1-D
+    from to_device vs 2-D host) so factor_records keeps working."""
+    flat = np.ndim(dg.f_vids) == 1
+    A = (dg.f_vids.size // dg.f_type.shape[0] if flat
+         else dg.f_vids.shape[1])
     z = np.zeros
+    sh = (A,) if flat else (1, A)
+    sh1 = (1,) if flat else (1, 1)
     return dg._replace(
-        f_vids=z((1, A), np.int32), f_ispos=z((1, A), bool),
-        f_eqpred=z((1, A), np.asarray(dg.f_eqpred).dtype),
-        f_mask=z((1, A), bool),
+        f_vids=z(sh, np.int32), f_ispos=z(sh, bool),
+        f_eqpred=z(sh, np.asarray(dg.f_eqpred).dtype),
+        f_mask=z(sh, bool),
         f_type=z(1, np.int8), f_wid=z(1, np.int32),
         f_feat=z(1, np.float32), f_arity=np.ones(1, np.int16),
-        f_cwbase=np.full(1, -1, np.int32), f_cwstride=z((1, 1), np.int32),
+        f_cwbase=np.full(1, -1, np.int32), f_cwstride=z(sh1, np.int32),
         pos_of_vid=z(1, np.int32))
 
 
@@ -240,17 +259,26 @@ def _dg_specs(dg) -> DeviceGraph:
     replicates."""
 
     def tier_spec(ts: TierStreams) -> TierStreams:
-        Bt = ts.cs_mask.shape[1]
+        Bt = ts.cs_type.shape[1] if ts.cs_type.ndim >= 2 else 0
         out = {}
         for name in ts._fields:
             a = getattr(ts, name)
-            if (name.startswith(("cs_", "cm_", "ab_")) and a.shape[1] == Bt
-                    ) or (name.startswith("bd_") and a.shape[1] > 1):
-                # axis 1 is B (streams) or ntiles (banding plan) — both are
-                # contiguous slices of the tier segment, so they co-shard
-                out[name] = P(None, "graph")
+            if name.startswith(("cs_", "cm_", "ab_")):
+                # axis 1 is the tier's record/row run — per-color 2-D
+                # [C, N] (tiers_2d relayout of flat device streams), [C, B]
+                # draw masks, or legacy host [C, B, D, A]: a contiguous
+                # 1/n split of axis 1 is each device's slice.  [C, 1(...)]
+                # placeholders replicate.
+                shard = ((a.ndim == 2 and a.shape[1] > 1)
+                         or (a.ndim >= 3 and Bt > 1 and a.shape[1] == Bt))
+            elif name.startswith("bd_"):
+                # banding plan: axis 1 is ntiles ([C, nt], [C, nt, R] or
+                # [C, nt, K]) — co-shards with the stream rows
+                shard = a.shape[1] > 1
             else:
-                out[name] = P()
+                shard = False
+            out[name] = (P(None, "graph", *([None] * (a.ndim - 2)))
+                         if shard else P())
         return TierStreams(**out)
 
     top = {}
@@ -316,7 +344,7 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
         halo = halo_plan(dg, info, n_graph)
 
     pos_of_vid = dg.pos_of_vid
-    dg = _strip_factor_records(dg)
+    dg = _relayout_for_sharding(_strip_factor_records(dg), info)
     dg_spec = _dg_specs(dg)
     keys = jax.random.split(key, n_chains_ax)
     n_total = n_burn + n_sweeps
@@ -352,7 +380,13 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
             vals = jax.lax.pcast(vals, ("graph",), to="varying")
 
             K = info.max_card
-            counts0 = jnp.tile(vals[:1, :1].astype(jnp.int32) * 0, (Pv, K))
+            # counts live FLAT [K*Pv] (row-major [K, P]) like
+            # run_inference_mc: a [P, K] buffer tile-pads its K-minor dim
+            # 128/K (64x at K=2) at rest AND in every scan-carry temp —
+            # the gs path exists precisely for the largest graphs, where
+            # that phantom allocation is fatal (r4 weak #3)
+            counts0 = jnp.tile(vals[:1, :1].astype(jnp.int32) * 0,
+                               (K * Pv,)).reshape(K * Pv)
             # values-dtype compare: an int32 convert of the whole world
             # materializes a [P, NC] s32 temp (OOM at 2.6e7 vars)
             ks = jnp.arange(K, dtype=vals.dtype)
@@ -360,9 +394,24 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
                 # stale-region safety: tallies count OWN rows only; the
                 # psum over graph then assembles disjoint contributions
                 g_idx = jax.lax.axis_index("graph")
-                rowmask = _own_rowmask(info, n_graph, g_idx, Pv)
+                rowmask = _own_rowmask(info, n_graph, g_idx, Pv)[:, 0]
             else:
-                rowmask = True
+                rowmask = None
+
+            def tally_counts(vals):
+                if K <= 16:
+                    per_k = []
+                    for k_ in range(K):
+                        ck = jnp.sum(vals[:Pv] == jnp.asarray(k_, vals.dtype),
+                                     axis=-1, dtype=jnp.int32)
+                        per_k.append(ck if rowmask is None
+                                     else jnp.where(rowmask, ck, 0))
+                    return jnp.concatenate(per_k)
+                oh = jnp.sum(vals[:Pv, None, :] == ks[None, :, None],
+                             axis=-1, dtype=jnp.int32)          # [Pv, K]
+                if rowmask is not None:
+                    oh = jnp.where(rowmask[:, None], oh, 0)
+                return oh.T.reshape(K * Pv)
 
             def body(carry, i):
                 vals, counts = carry
@@ -370,9 +419,7 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
                 vals = sweep_gs(dg_l, vals, w, kk, sample_evidence, info,
                                 n_graph, modes, halo, folded)
                 tally = jnp.where(i >= n_burn, 1, 0)
-                onehot = (vals[:Pv, None, :] == ks[None, :, None])
-                oh = jnp.sum(onehot, axis=-1, dtype=jnp.int32)
-                counts = counts + tally * jnp.where(rowmask, oh, 0)
+                counts = counts + tally * tally_counts(vals)
                 return (vals, counts), None
 
             (vals, counts), _ = jax.lax.scan(
@@ -386,7 +433,7 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
                 # canonicalize: owned rows reassemble the fresh world
                 # (stale neighbor copies zeroed, disjoint psum)
                 vals = jax.lax.psum(
-                    jnp.where(rowmask, vals.astype(jnp.int32), 0),
+                    jnp.where(rowmask[:, None], vals.astype(jnp.int32), 0),
                     "graph").astype(dt)
             return vals, counts
 
@@ -405,6 +452,7 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
     runners = {}
     host_tally = bool(checkpoint_every) or resume_state is not None
     counts = None
+    K = info.max_card
     while done < n_total:
         n = min(every, n_total - done)
         if n not in runners:
@@ -412,17 +460,22 @@ def infer_gs(dg, weights, key, n_burn: int, n_sweeps: int, info,
         values, cts = runners[n](dg, weights, keys, values, jnp.int32(done))
         done += n
         if host_tally:
-            counts_acc = counts_acc + np.asarray(cts, np.int64)
+            # device tallies arrive flat [K*P] row-major [K, P]; the host
+            # accumulator / checkpoint format stays [P, K]
+            counts_acc = counts_acc \
+                + np.asarray(cts, np.int64).reshape(K, -1).T
             if on_checkpoint is not None:
                 on_checkpoint(done, np.asarray(values), counts_acc)
         else:
             counts = cts       # single chunk: stays a (global) device array
     if host_tally:
-        counts = counts_acc
+        cnt = counts_acc
+    else:
+        cnt = np.asarray(jax.device_get(counts), np.int64).reshape(K, -1).T
     total = n_sweeps * chains_per_device * n_chains_ax * (
         1 if halo is not None else n_graph)
-    marg = jnp.asarray(counts)[pos_of_vid].astype(jnp.float32) \
-        / jnp.float32(total)
+    marg = cnt[np.asarray(jax.device_get(pos_of_vid))].astype(np.float32) \
+        / np.float32(total)
     return marg
 
 
@@ -461,7 +514,7 @@ def learn_gs(dg, weights, key, cfg, info, mesh: Mesh,
     if halo == "auto":
         halo = halo_plan(dg, info, n_graph)
 
-    dg = _strip_factor_records(dg)
+    dg = _relayout_for_sharding(_strip_factor_records(dg), info)
     dg_spec = _dg_specs(dg)
     keys = jax.random.split(key, n_chains_ax)
 

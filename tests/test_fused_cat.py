@@ -50,7 +50,7 @@ def test_affinek_fold_matches_general_logits():
     K = info.max_card
 
     folded = prepare_fold(dgj, w, info, ("off", "interpret"))
-    av, bv = folded[0]                      # [C, nt, 1, R] row d-major
+    av, bv, _ = folded[0]                   # [C, nt, R] row d-major
 
     rng = np.random.default_rng(0)
     NC = 3
@@ -58,11 +58,11 @@ def test_affinek_fold_matches_general_logits():
     values = jnp.asarray(rng.integers(0, 4, (P, NC)) %
                          np.asarray(dg.var_card)[:, None], jnp.int8)
 
-    C = ts.cs_mask.shape[0]
+    C = dg.tiers[0].cs_mask.shape[0]        # host view keeps [C, B, D, A]
     TB = ti.band_tb
-    D = ts.cs_mask.shape[2]
+    D = dg.tiers[0].cs_mask.shape[2]
     for c in range(C):
-        gathered = values[np.asarray(dg.tiers[0].bd_nbr[c])[:, 0]]
+        gathered = values[np.asarray(dg.tiers[0].bd_nbr[c])]
         #           [nt, D*TB, NC] via global positions (d-major)
         nt = gathered.shape[0]
         R = gathered.shape[1]
@@ -77,10 +77,10 @@ def test_affinek_fold_matches_general_logits():
             mk = mk.reshape(nt, D, TB, NC).sum(axis=1)    # [nt, TB, NC]
             lcat.append(mk.reshape(nt * TB, NC))
         lcat = jnp.stack(lcat, axis=1)      # [B, K, NC]
-        lcat = lcat + dgj.tiers[0].cm_kmask[c][:, :, None]
+        lcat = lcat + dg.tiers[0].cm_kmask[c][:, :, None]
 
         lref = color_logits_mc(dgj, ts, ti, values, w, c, info, PLAIN)
-        lref = lref + dgj.tiers[0].cm_kmask[c][:, :, None]
+        lref = lref + dg.tiers[0].cm_kmask[c][:, :, None]
 
         # compare after subtracting each variable's k=0 logit: the
         # analysis drops k-independent terms, a per-(b, chain) shift

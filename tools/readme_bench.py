@@ -21,22 +21,28 @@ BEGIN, END = "<!-- BENCH:BEGIN -->", "<!-- BENCH:END -->"
 
 
 def newest_bench():
-    """Latest bench JSON: BENCH_SELF.json beats driver rounds."""
+    """Latest bench JSON by FILE MTIME across BENCH_SELF.json and the
+    driver's BENCH_r*.json (a lexicographic sort would rank r10 before r2,
+    and an unconditional BENCH_SELF preference could pin a stale builder
+    run over a newer driver round — r4 advisor finding)."""
+    cands = glob.glob(os.path.join(ROOT, "BENCH_r*.json"))
     self_path = os.path.join(ROOT, "BENCH_SELF.json")
     if os.path.exists(self_path):
-        with open(self_path) as f:
-            return json.load(f), "BENCH_SELF.json"
-    rounds = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
-    if not rounds:
+        cands.append(self_path)
+    if not cands:
         raise SystemExit("no bench artifact found")
-    with open(rounds[-1]) as f:
+    latest = max(cands, key=os.path.getmtime)
+    with open(latest) as f:
         data = json.load(f)
-    return data.get("parsed", data), os.path.basename(rounds[-1])
+    return data.get("parsed", data), os.path.basename(latest)
 
 
 def fmt(x):
-    return f"{x:.2e}".replace("e+09", "e9").replace("e+08", "e8") \
-        if isinstance(x, float) else str(x)
+    if not isinstance(x, float):
+        return str(x)
+    # normalize every exponent (e+08 -> e8, e+10 -> e10, ...), not just a
+    # hard-coded pair (r4 advisor: 1.25e+10 leaked through unnormalized)
+    return re.sub(r"e\+?0*(\d)", r"e\1", f"{x:.2e}")
 
 
 def render():
