@@ -73,16 +73,19 @@ def bench_inference(dgj, info, modes, n_chains, inner, outer):
 
 
 def bench_learning(g, colors, modes, n_chains, epochs, sweeps_per_epoch,
-                   outer):
+                   outer, **compile_kw):
     from sampler_tpu.compile import compile_graph, to_device
     from sampler_tpu.engine.learn import LearnConfig
-    from sampler_tpu.engine.multichain import learn_mc
+    from sampler_tpu.engine.multichain import learn_mc, resolve_modes
 
-    # label half the grid so the gradient has signal (evidence world differs
-    # from the free world)
+    # label half the graph so the gradient has signal (evidence world
+    # differs from the free world); labels stay inside each var's domain
     g.var_role[::2] = 1
-    g.var_init[::2] = (np.arange((g.n_vars + 1) // 2) % 2).astype(np.int32)
-    dg, info = compile_graph(g, colors=colors)
+    g.var_init[::2] = (np.arange((g.n_vars + 1) // 2)
+                       % np.asarray(g.var_card)[::2]).astype(np.int32)
+    dg, info = compile_graph(g, colors=colors, **compile_kw)
+    if modes is None:
+        modes = resolve_modes(info)
     dgj = to_device(dg)
     cfg = LearnConfig(n_epochs=epochs, n_sweeps_per_epoch=sweeps_per_epoch,
                       stepsize=0.01, diminish=0.99, regularization="l2",
@@ -137,11 +140,9 @@ def bench_kbc(n_chains, inner, outer):
     from sampler_tpu.compile import compile_graph, to_device
     from sampler_tpu.engine.multichain import resolve_modes
 
-    # 5e5 vars: the largest KBC size that fits this chip TODAY — XLA tile
-    # padding expands the [C, B, D, A]-shaped stream temps by 128/A (~43-64x)
-    # in the plain-gather program (a 1e6-var run OOM'd 16 GB HBM on a 3.19 GB
-    # padded temp of a 51 MB array).  Fixing the at-rest layout (flat [C, N]
-    # streams) is the known next step; see README "Limits".
+    # 5e5 vars default; the round-5 flat at-rest layout removed the old
+    # tile-padding OOM (BENCH_KBC_VARS=4000000 runs on the chip — the r4
+    # cap was 5e5 with a 1e6 OOM)
     n_vars = int(os.environ.get("BENCH_KBC_VARS", "500000"))
     n_fac = 3 * n_vars
     g = random_kbc_graph(n_vars, n_fac, max_arity=3, n_weights=100_000,
@@ -241,9 +242,44 @@ def main():
         lambda: big_triple_grid(t_grid, t_grid),
         f"arity3 {t_grid}x{t_grid}", t_chains, inner, outer))
 
+    # LEARNING for the categorical and KBC classes (VERDICT r4 #8: the
+    # learning matrix was 1x1) — same learn_mc path, small epoch counts
+    def learn_leg(label, mk, chains, **kw):
+        def run():
+            g2, colors2 = mk()
+            _, upd, cs, dt = bench_learning(
+                g2, colors2, None, chains, l_epochs, l_sweeps, 1, **kw)
+            sys.stderr.write(f"{label} learning: chains={chains} "
+                             f"compile={cs:.1f}s run={dt:.3f}s "
+                             f"rate={upd:.3e} updates/s\n")
+            return upd, None
+        return guarded(label + "_learning", run)[0]
+
+    cat_lrate = learn_leg(
+        "categorical",
+        lambda: big_potts_grid(c_grid, c_grid, card=c_card), c_chains)
+
+    def mk_kbc():
+        from sampler_tpu.benchgraphs import random_kbc_graph
+        from sampler_tpu.coloring import greedy_coloring
+        n_v = int(os.environ.get("BENCH_KBC_LEARN_VARS", "200000"))
+        gk = random_kbc_graph(n_v, 3 * n_v, max_arity=3,
+                              n_weights=10_000, seed=1, skew=1.1,
+                              window=2000)
+        return gk, greedy_coloring(gk)
+
+    kbc_lrate = learn_leg("kbc", mk_kbc,
+                          int(os.environ.get("BENCH_KBC_LEARN_CHAINS",
+                                             "256")),
+                          band_wmax=32768)
+
     # the irregular KBC class (VERDICT r3 #4): skew + window + hub tier +
-    # RCM on the chip, through the same shipped inference path
-    k_chains = int(os.environ.get("BENCH_KBC_CHAINS", "128"))
+    # RCM on the chip, through the same shipped inference path.  1024
+    # chains: the class is gather-ISSUE-bound (~0.16 s/sweep fixed at 5e5
+    # vars regardless of NC), so wide chain batches amortize it — these
+    # are real independent chains pooled into the tallies, the same
+    # statistical contract as the flagship's 512
+    k_chains = int(os.environ.get("BENCH_KBC_CHAINS", "1024"))
     k_inner = int(os.environ.get("BENCH_KBC_INNER", "5"))
     k_outer = int(os.environ.get("BENCH_KBC_OUTER", "2"))
     kbc_rate, kbc_modes = guarded(
@@ -263,6 +299,8 @@ def main():
         "arity3_modes": list(tri_modes),
         "kbc_updates_per_s": kbc_rate,
         "kbc_modes": list(kbc_modes),
+        "categorical_learning_updates_per_s": cat_lrate,
+        "kbc_learning_updates_per_s": kbc_lrate,
     }))
 
 

@@ -116,15 +116,32 @@ class TierStreams(NamedTuple):
     bd_eqo: np.ndarray     # int32 [C, ntiles, D*TB] own eq predicate
     #                        ([C,1,1] when off)
     bd_eqn: np.ndarray     # int32 [C, ntiles, D*TB] neighbor eq pred
-    # fused gradient kernel streams (ops/grad.py; built with affine2 —
-    # pairwise boolean banded tiers; [C,1,1] placeholders otherwise).
-    # gd_meta packs the per-record φ sufficient-statistic constants:
-    # o1 | o0<<2 | headpos<<4 | head_own<<5 | hn<<6 | pos_n<<7 | n<<8
-    # | type<<16 | nvalid<<24 (row d-major like bd_eqo)
-    gd_meta: np.ndarray    # int32 [C, ntiles, D*TB]
+    # moment-factored gradient kernel streams (ops/grad.py; built with
+    # affine2 — pairwise boolean banded tiers; [C,1,1] placeholders
+    # otherwise).  φ of a record is bilinear in the binary (own, nbr)
+    # values: φ(o, n) = p00 + ao·o + an·n + ax·o·n, with ao == ab_a and
+    # ax == ab_b (the affine-analysis streams) and an the only new
+    # coefficient; all literal/negation/head/mask semantics live in these
+    # compile-time floats (row d-major like bd_eqo).
     gd_wid: np.ndarray     # int32 [C, ntiles, D*TB] weight id
     gd_cown: np.ndarray    # f32 [C, ntiles, D*TB] feat * gowner
     gd_ctch: np.ndarray    # f32 [C, ntiles, D*TB] feat * gtouch
+    gd_ao: np.ndarray      # f32 [C, ntiles, D*TB] φ(1,0) − φ(0,0)
+    gd_an: np.ndarray      # f32 [C, ntiles, D*TB] φ(0,1) − φ(0,0)
+    gd_ax: np.ndarray      # f32 [C, ntiles, D*TB] φ(1,1)−φ(1,0)−φ(0,1)+φ(0,0)
+    # multilinear delta-φ streams (TierInfo.deltam — boolean tiers with
+    # arity <= 3 that DON'T run a fused Pallas step, i.e. the irregular
+    # KBC/arity-3 classes).  On {0,1}^k corners the multilinear
+    # interpolant is EXACT for ANY φ (incl. RATIO's log1p), so
+    # delta(n1, n2) = φ(1,·)−φ(0,·) folds to 4 compile-time coefficients
+    # per record and the runtime delta path becomes ~6 elementwise ops
+    # instead of the ~40-op counts/select evaluation — the measured
+    # per-chain VPU bound of the KBC class (round-5 probe).  Pre-weight;
+    # fold_deltam scales by wf at weights-change time.
+    dm_a: np.ndarray       # f32 [C, B, D] d(0,0)
+    dm_b1: np.ndarray      # f32 [C, B, D] d(1,0) − d(0,0)
+    dm_b2: np.ndarray      # f32 [C, B, D] d(0,1) − d(0,0)
+    dm_x: np.ndarray       # f32 [C, B, D] d(1,1)−d(1,0)−d(0,1)+d(0,0)
     # precomputed draw masks (runtime comparisons against sliced metadata
     # trigger a pathological Mosaic lowering — ~400x slower — so these are
     # baked at compile time and streamed):
@@ -211,6 +228,7 @@ class TierInfo:
     bounds: bool = False  # bd_lo/bd_hi hold true read bounds
     affine2: bool = False  # fused affine color step available
     affinek: bool = False  # K-candidate fused color step available
+    deltam: bool = False  # multilinear delta-phi streams available (dm_*)
     hub: bool = False     # chunked-CSR hub tier (degree > hub_cap)
     chunks: int = 0       # M: padded chunks per color (hub tier)
     chunk_g: int = 0      # G: records per chunk (hub tier)
@@ -398,7 +416,12 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
     for t in range(T):
         b = _round_up(max(int(gcnt[:, t].max()), 1), align)
         if band_tile > 0 and b >= band_min_block and t != hub_tier:
-            q = int(np.lcm(align, band_tile * max(shards, 1)))
+            # x8: the fused kernels read their [C, ntiles, R] streams in
+            # (1, 8, R) blocks (Mosaic requires the penultimate block dim
+            # divisible by 8), so ntiles must be a multiple of 8 — per
+            # SHARD under graph sharding.  Pad rows are ordinary dummy
+            # variables, so tiles stay uniform and shard-aligned.
+            q = int(np.lcm(align, band_tile * 8 * max(shards, 1)))
             b = _round_up(b, q)
             try_band_t[t] = True
         Bt[t] = b
@@ -520,7 +543,7 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
                 f_vids, f_ispos, f_eqpred, f_mask, f_type, f_arity, f_wid,
                 f_feat, f_minpos, f_touch,
                 var_card, var_role,
-                K, eq_dtype, all_boolean, hub_chunk)
+                K, eq_dtype, all_boolean, hub_chunk, shards)
         else:
             ts, ti = _build_tier(
                 t, int(off[t]), int(Bt[t]), C, B, P, DUMMY,
@@ -781,7 +804,10 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
                   .copy())
     else:
         bd_nbr = np.zeros((C, 1, 1), np.int32)
-    if not affine2:
+    if not affine2 and not affine_cand:
+        # ab_a/ab_b double as the pairwise multilinear-delta coefficients
+        # (fold_deltam), so they are kept whenever the affine analysis ran
+        # — even when banding failed and the fused kernel is unavailable
         ab_a = ab_b = np.zeros((C, 1, 1), np.float32)
     if affine2 or affinek:
 
@@ -802,33 +828,53 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
         cs_cka = cs_ckb = np.zeros((C, 1, 1), np.float32)
         bd_eqo = bd_eqn = np.zeros((C, 1, 1), np.int32)
     if affine2:
-        # fused-gradient kernel streams (ops/grad.py): φ sufficient-stat
-        # constants per record, packed into one int32, column d-major
-        ownm = cs_ismine & cs_mask
-        o1 = (ownm & cs_pos).sum(-1).astype(np.int32)      # [C, Bt, D]
-        o0 = ownm.sum(-1).astype(np.int32) - o1
-        head_own = (cs_hmask & cs_ismine).any(-1)
-        headpos = (cs_hmask & cs_ismine & cs_pos).any(-1)
-        hn = (cs_hmask & ~cs_ismine)[..., 0]
-        pos_n = cs_pos[..., 0]
-        n_true = cs_arity.astype(np.int32)
-        # bit 24: neighbor slot 0 is a REAL non-own slot.  Without it a
-        # masked pad slot (pos_n=False, gathers value 0) counts as a
-        # satisfied literal — wrong gradients for arity-1 counts factors
-        # (AND/OR/EQUAL) living in an affine2 tier.
-        nvalid = (cs_mask & ~cs_ismine)[..., 0]
-        meta = (o1 | (o0 << 2) | (headpos << 4) | (head_own << 5)
-                | (hn << 6) | (pos_n << 7) | (n_true << 8)
-                | (cs_type.astype(np.int32) << 16) | (nvalid << 24))
-        gd_meta = _rowmaj(meta.astype(np.int32))
+        # moment-factored gradient kernel streams (ops/grad.py): φ(o, n)
+        # is bilinear in the binary (own, neighbor) values, so the kernel
+        # only needs the three moment coefficients.  ao/ax ARE the affine
+        # draw analysis (ab_a/ab_b); an comes from the same φ table.  Pad
+        # slots and arity-1 records get an = ax = 0 by construction (the
+        # masked-pad-literal bug class of the round-4 in-kernel φ cannot
+        # exist here — tests/test_grad_kernel.py unary cases).
+        from .ops.fused import _phi_np
+
+        def _gphi(o, nv):
+            val = np.where(cs_ismine, o, nv)
+            lits = ((val == 1) == cs_pos) & cs_mask
+            nlit = lits.sum(-1, dtype=np.int32)
+            na = cs_mask.sum(-1, dtype=np.int32)
+            head = (lits & cs_hmask).any(-1)
+            return _phi_np(nlit, head, na, cs_type, present_t)
+
+        gd_an = _rowmaj((_gphi(0, 1) - _gphi(0, 0)).astype(np.float32))
+        gd_ao = _rowmaj(ab_a.astype(np.float32))
+        gd_ax = _rowmaj(ab_b.astype(np.float32))
         gd_wid = _rowmaj(cs_wid)
         gd_cown = _rowmaj(np.where(cs_gowner, cs_feat, 0.0)
                           .astype(np.float32))
         gd_ctch = _rowmaj(np.where(cs_gtouch, cs_feat, 0.0)
                           .astype(np.float32))
     else:
-        gd_meta = gd_wid = np.zeros((C, 1, 1), np.int32)
+        gd_wid = np.zeros((C, 1, 1), np.int32)
         gd_cown = gd_ctch = np.zeros((C, 1, 1), np.float32)
+        gd_ao = gd_an = gd_ax = np.zeros((C, 1, 1), np.float32)
+
+    # --- multilinear delta-φ streams: EVERY boolean arity<=3 tier gets
+    # them (the fused Pallas step takes precedence at draw time when on),
+    # so the non-fused float path is identical whether or not banding
+    # compiled in — bitwise parity across band modes/compilations.  The
+    # KBC / arity-3 classes, where the ~40-op counts/select φ evaluation
+    # is the measured per-chain VPU bound, are the perf target.
+    deltam = bool(all_boolean and 2 <= A_t <= 3 and not affinek)
+    if deltam and A_t == 2 and affine_cand:
+        # pairwise tiers: dm_a/dm_b1 ARE the affine-analysis streams —
+        # fold_deltam reads ab_a/ab_b directly, so only placeholders are
+        # stored (no duplicate device image)
+        dm_a = dm_b1 = dm_b2 = dm_x = np.zeros((C, 1, 1), np.float32)
+    elif deltam:
+        dm_a, dm_b1, dm_b2, dm_x = _deltam_streams(
+            cs_ismine, cs_pos, cs_mask, cs_hmask, cs_type, present_t, A_t)
+    else:
+        dm_a = dm_b1 = dm_b2 = dm_x = np.zeros((C, 1, 1), np.float32)
 
     # --- draw masks ---------------------------------------------------------
     cm_view = lambda a: a[:-1].reshape(C, B)[:, off_t:off_t + Bt]
@@ -850,7 +896,9 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
         bd_start=bd_start, bd_rnbr=bd_rnbr, bd_lo=bd_lo, bd_hi=bd_hi,
         bd_nbr=bd_nbr, ab_a=ab_a, ab_b=ab_b,
         cs_cka=cs_cka, cs_ckb=cs_ckb, bd_eqo=bd_eqo, bd_eqn=bd_eqn,
-        gd_meta=gd_meta, gd_wid=gd_wid, gd_cown=gd_cown, gd_ctch=gd_ctch,
+        gd_wid=gd_wid, gd_cown=gd_cown, gd_ctch=gd_ctch,
+        gd_ao=gd_ao, gd_an=gd_an, gd_ax=gd_ax,
+        dm_a=dm_a, dm_b1=dm_b1, dm_b2=dm_b2, dm_x=dm_x,
         cm_kmask=cm_kmask, cm_resample=cm_resample,
         cm_resample_ev=cm_resample_ev,
         hb_row=np.zeros((C, 1), np.int32),
@@ -859,10 +907,47 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
         off=off_t, block=Bt, degree=D, arity=A_t,
         band_w=band_w, band_tb=band_tile if band_w else 0,
         band_k=band_k,
-        bounds=bounds, affine2=affine2, affinek=affinek,
+        bounds=bounds, affine2=affine2, affinek=affinek, deltam=deltam,
         present_funcs=present_t,
     )
     return ts, ti
+
+
+def _deltam_streams(cs_ismine, cs_pos, cs_mask, cs_hmask, cs_type,
+                    present_t, A: int):
+    """Multilinear delta-φ coefficients (dm_a, dm_b1, dm_b2, dm_x) from
+    the 4 neighbor-value corners: delta(n1, n2) = φ(own=1,·) − φ(own=0,·)
+    is exactly its multilinear interpolant on {0,1}^2 (any φ, log1p
+    included).  For A == 2 the b2/x coefficients are identically zero and
+    come back as [C, 1, 1] placeholders (fold_deltam skips them)."""
+    from .ops.fused import _phi_np
+
+    def dphi(n1, n2):
+        sv = np.zeros(cs_mask.shape, np.int32)
+        sv[..., 0] = n1
+        if A >= 3:
+            sv[..., 1] = n2
+
+        def ph(o):
+            val = np.where(cs_ismine, o, sv)
+            lits = ((val == 1) == cs_pos) & cs_mask
+            nlit = lits.sum(-1, dtype=np.int32)
+            na = cs_mask.sum(-1, dtype=np.int32)
+            head = (lits & cs_hmask).any(-1)
+            return _phi_np(nlit, head, na, cs_type, present_t)
+
+        return ph(1) - ph(0)
+
+    C = cs_mask.shape[0]
+    d00, d10 = dphi(0, 0), dphi(1, 0)
+    if A < 3:
+        return (d00.astype(np.float32), (d10 - d00).astype(np.float32),
+                np.zeros((C, 1, 1), np.float32),
+                np.zeros((C, 1, 1), np.float32))
+    d01, d11 = dphi(0, 1), dphi(1, 1)
+    return (d00.astype(np.float32), (d10 - d00).astype(np.float32),
+            (d01 - d00).astype(np.float32),
+            (d11 - d10 - d01 + d00).astype(np.float32))
 
 
 def _build_hub_tier(off_t: int, Bt: int, C: int, B: int, P: int,
@@ -871,7 +956,7 @@ def _build_hub_tier(off_t: int, Bt: int, C: int, B: int, P: int,
                     f_wid, f_feat, f_minpos, f_touch,
                     var_card, var_role,
                     K: int, eq_dtype, all_boolean: bool,
-                    G: int) -> tuple[TierStreams, TierInfo]:
+                    G: int, shards: int = 1) -> tuple[TierStreams, TierInfo]:
     """Assemble the chunked-CSR hub tier.
 
     (up, uf, rloc): this tier's (position, factor, row-in-color-block)
@@ -901,7 +986,9 @@ def _build_hub_tier(off_t: int, Bt: int, C: int, B: int, P: int,
     urow = uniq // maxck                            # [n_chunks] in [0,C*Bt)
     ucol = urow // Bt
     ckcnt = np.bincount(ucol, minlength=C)
-    M = max(int(ckcnt.max()), 1)
+    # chunk count padded so the graph axis can split each color's chunk
+    # run evenly (pad chunks map to the dummy row Bt, a dropped segment)
+    M = _round_up(max(int(ckcnt.max()), 1), max(shards, 1))
     ckstart = np.searchsorted(ucol, np.arange(C))
     ulocal = np.arange(len(uniq)) - ckstart[ucol]   # chunk rank in color
     # per-record destination (color, local chunk, slot)
@@ -971,6 +1058,16 @@ def _build_hub_tier(off_t: int, Bt: int, C: int, B: int, P: int,
         cs_gowner[dst] = gown
         cs_gtouch[dst] = gown & f_touch[f]
 
+    # multilinear delta-φ coefficients for the hub chunks (same corner
+    # construction as the dense tiers; the hub draw segment-sums chunk
+    # deltas onto rows, so per-chunk coefficients compose directly)
+    deltam = bool(all_boolean and 2 <= A_h <= 3)
+    if deltam:
+        dm_a, dm_b1, dm_b2, dm_x = _deltam_streams(
+            cs_ismine, cs_pos, cs_mask, cs_hmask, cs_type, present_t, A_h)
+    else:
+        dm_a = dm_b1 = dm_b2 = dm_x = np.zeros((C, 1, 1), np.float32)
+
     # row-level draw masks (rows off_t..off_t+Bt of each color block)
     cm_view = lambda a: a[:-1].reshape(C, B)[:, off_t:off_t + Bt]
     cm_card = cm_view(var_card).copy()
@@ -999,17 +1096,20 @@ def _build_hub_tier(off_t: int, Bt: int, C: int, B: int, P: int,
         cs_ckb=np.zeros((C, 1, 1), np.float32),
         bd_eqo=np.zeros((C, 1, 1), np.int32),
         bd_eqn=np.zeros((C, 1, 1), np.int32),
-        gd_meta=np.zeros((C, 1, 1), np.int32),
         gd_wid=np.zeros((C, 1, 1), np.int32),
         gd_cown=np.zeros((C, 1, 1), np.float32),
         gd_ctch=np.zeros((C, 1, 1), np.float32),
+        gd_ao=np.zeros((C, 1, 1), np.float32),
+        gd_an=np.zeros((C, 1, 1), np.float32),
+        gd_ax=np.zeros((C, 1, 1), np.float32),
+        dm_a=dm_a, dm_b1=dm_b1, dm_b2=dm_b2, dm_x=dm_x,
         cm_kmask=cm_kmask, cm_resample=cm_resample,
         cm_resample_ev=cm_resample_ev,
         hb_row=hb_row,
     )
     ti = TierInfo(
         off=off_t, block=Bt, degree=G, arity=A_h,
-        hub=True, chunks=M, chunk_g=G,
+        hub=True, chunks=M, chunk_g=G, deltam=deltam,
         present_funcs=present_t,
     )
     return ts, ti
@@ -1038,7 +1138,7 @@ FLAT_TIER_FIELDS = (
     "cs_nbr", "cs_ismine", "cs_hmask", "cs_pos", "cs_eq", "cs_mask",
     "cs_type", "cs_arity", "cs_wid", "cs_feat", "cs_gowner", "cs_gtouch",
     "cs_issparse", "cs_cwbase", "cs_cwstride", "ab_a", "ab_b", "cs_cka",
-    "cs_ckb", "cm_kmask")
+    "cs_ckb", "cm_kmask", "dm_a", "dm_b1", "dm_b2", "dm_x")
 FLAT_TOP_FIELDS = ("f_vids", "f_ispos", "f_eqpred", "f_mask", "f_cwstride")
 
 

@@ -27,14 +27,20 @@ from .potentials import eval_phi
 NEG_INF = jnp.float32(-1e30)
 LANE = 128  # TPU lane width: the Pallas kernels need NC % LANE == 0
 # gradient mechanism (read ONCE at import, like ops.weights SMALL_W —
-# it participates in trace-time branching).  "auto" = the chunked XLA
-# path on hardware, the fused kernel under interpret (CPU tests): the
-# fused gradient kernel (ops/grad.py) measured 2.16e9 learning updates/s
-# vs 4.76e9 for the XLA path in a same-day A/B on the flagship bench
-# (LEARN_PROFILE_r4.json) — VPU-bound on the per-plane counts-phi; the
-# moment-factored variant (signed lane reduces pushed into the gather
-# matmul) is the planned fix.  SAMPLER_TPU_GRAD=kernel|xla overrides.
+# it participates in trace-time branching).  "auto" = the moment-factored
+# fused kernel (ops/grad.py) wherever it applies: the round-5 same-day
+# A/B on silicon measured 7.58e9 learning updates/s for the kernel vs
+# 2.82e9 for the chunked XLA path (LEARN_PROFILE_r5.json — the round-4
+# v1 kernel lost 2.2x on per-plane VPU phi; v2 removed it).
+# SAMPLER_TPU_GRAD=kernel|xla overrides.
 GRAD_MODE = os.environ.get("SAMPLER_TPU_GRAD", "auto").lower()
+# multilinear delta-φ path for boolean arity<=3 tiers without a fused
+# Pallas step (compile.py dm_* streams): "on" (default) | "off" — the
+# kill switch exists because the path changes float rounding of the
+# logits (draws can differ from the counts path on coin-flip margins,
+# never in distribution).  Read ONCE at import (trace-time branching,
+# same contract as GRAD_MODE).
+DELTAM_MODE = os.environ.get("SAMPLER_TPU_DELTAM", "on").lower()
 
 
 def values_dtype(info):
@@ -384,46 +390,122 @@ def color_delta_bool(ts, ti, values, weights, c, info,
     return jnp.sum(wf * (phi1 - phi0), axis=1)                # [B, NC]
 
 
+def color_delta_multilin(ts, ti, values, c, info, folded_t, modes):
+    """Boolean delta-logit via the compile-time multilinear φ fold:
+    delta[b] = base[b] + Σ_d (b1·n1 + b2·n2 + bx·n1·n2), with
+    (base, b1, b2, bx) = fold_deltam's weight-scaled dm_* streams.
+
+    Replaces color_delta_bool's ~40-op counts/select evaluation with ~6
+    elementwise ops per record — the measured per-chain VPU bound of the
+    KBC class (round-5 probe: 0.98 ns/var/chain, ~30x the HBM floor).
+    Exact in exact arithmetic (multilinear interpolation on binary
+    corners is exact for every φ, log1p included); differs from the
+    counts path only in float rounding order."""
+    from ..compile import tier_geom
+
+    B, D, A = tier_geom(ts, ti, info.n_colors)
+    A1 = A - 1
+    base_f, b1_f, b2_f, bx_f = folded_t
+    nbr = _tc(ts.cs_nbr, c, (B, D, A1))
+    NC = values.shape[-1]
+    band = tier_modes(ti, modes)[0]
+    if band != "off":
+        from ..ops.banded import banded_gather, banded_gather_multi
+
+        if ti.band_k >= 2:
+            vals = banded_gather_multi(values, ts.bd_rnbr[c],
+                                       ts.bd_start[c], ti.band_w,
+                                       ti.band_k, band)
+        else:
+            ntiles = B // ti.band_tb
+            vals = banded_gather(values,
+                                 nbr.reshape(ntiles, ti.band_tb * D * A1),
+                                 ts.bd_start[c], ti.band_w, band)
+        vals = vals.reshape(B, D, A1, NC)
+    else:
+        vals = values[nbr.reshape(-1)].reshape(B, D, A1, NC)
+    f32 = jnp.float32
+    base = _tc(base_f, c, (B,))[:, None]
+    n1 = vals[:, :, 0, :].astype(f32)
+    contrib = _tc(b1_f, c, (B, D))[..., None] * n1
+    if A1 >= 2 and b2_f is not None:
+        n2 = vals[:, :, 1, :].astype(f32)
+        contrib = contrib + _tc(b2_f, c, (B, D))[..., None] * n2 \
+            + _tc(bx_f, c, (B, D))[..., None] * (n1 * n2)
+    return base + jnp.sum(contrib, axis=1)             # [B, NC]
+
+
 def prepare_fold(dg, weights, info, modes):
-    """Per-weights prep for the fused affine color step (ops/fused.py).
+    """Per-weights prep for the fused affine color step and the
+    multilinear delta path (ops/fused.py).
 
-    Returns a per-tier tuple of (beta, base) streams (None entries for
-    tiers the fused path does not cover), or None when no tier runs fused.
-    Called OUTSIDE the sweep loops — the fold includes a weights gather
-    that must be amortized over many sweeps."""
-    from ..ops.fused import fold_affine, fold_affine_cat
+    Returns a per-tier tuple of folded coefficient streams (None entries
+    for tiers no folded path covers), or None when nothing folds.  Called
+    OUTSIDE the sweep loops — the fold includes a weights gather that
+    must be amortized over many sweeps."""
+    from ..ops.fused import fold_affine, fold_affine_cat, fold_deltam
 
-    if modes[1] == "off" or not (info.affine2 or info.affinek):
+    use_fused = modes[1] != "off" and (info.affine2 or info.affinek)
+    has_dm = DELTAM_MODE != "off" and any(
+        getattr(ti, "deltam", False) for ti in info.tiers)
+    if not (use_fused or has_dm):
         return None
     w = jnp.asarray(weights, jnp.float32)
 
     def fold_one(ts, ti):
-        if ti.affine2:
+        if ti.affine2 and use_fused:
             return fold_affine(ts, ti, info.n_colors, w)
-        if ti.affinek:
+        if ti.affinek and use_fused:
             return fold_affine_cat(ts, ti, info.n_colors, w)
+        if ti.deltam and DELTAM_MODE != "off":
+            return fold_deltam(ts, ti, info.n_colors, w)
         return None
 
     return tuple(fold_one(ts, ti) for ts, ti in zip(dg.tiers, info.tiers))
 
 
-def hub_color_draw(dg, ts, ti, values, weights, key, c, info, modes):
+def hub_color_draw(dg, ts, ti, values, weights, key, c, info, modes,
+                   folded_t=None, psum_axis=None):
     """Draw for a chunked-CSR hub tier: evaluate the [C, M, G, A] chunk
     streams with the SAME dense-tier machinery (a chunk plays the role of
     a row with D=G incident slots), then segment-sum the per-chunk
     contributions onto the owning rows (hb_row; pad chunks land in the
     dropped dummy segment).  Replaces the reference's per-variable CSR
-    walk for power-law head variables (SURVEY.md §3.2, §7 hard-part 2)."""
+    walk for power-law head variables (SURVEY.md §3.2, §7 hard-part 2).
+
+    Under graph sharding (``psum_axis``) each device holds a contiguous
+    1/n run of CHUNKS (owner-disjoint per factor, but a row's chunks may
+    span devices): the local segment-sum yields partial row sums over the
+    FULL tier row range, combined with one psum — the caller then slices
+    its own rows.  cm_kmask shards by ROWS, so the full-range mask is
+    rebuilt here from var_card instead."""
     Bh = ti.block
-    row = ts.hb_row[c]                                 # [M]
+    row = ts.hb_row[c]                                 # [M] (local chunks)
     if info.all_boolean and info.max_card == 2:
-        dchunk = color_delta_bool(ts, ti, values, weights, c, info, modes)
+        if ti.deltam and folded_t is not None:
+            dchunk = color_delta_multilin(ts, ti, values, c, info,
+                                          folded_t, modes)
+        else:
+            dchunk = color_delta_bool(ts, ti, values, weights, c, info,
+                                      modes)
         delta = jax.ops.segment_sum(dchunk, row, num_segments=Bh + 1)[:Bh]
+        if psum_axis is not None:
+            delta = jax.lax.psum(delta, psum_axis)
         u = jax.random.uniform(key, delta.shape, dtype=delta.dtype)
         return (u < jax.nn.sigmoid(delta)).astype(values.dtype)
     logits = color_logits_mc(dg, ts, ti, values, weights, c, info, modes)
     logits = jax.ops.segment_sum(logits, row, num_segments=Bh + 1)[:Bh]
-    masked = logits + _tc(ts.cm_kmask, c, (Bh, info.max_card))[:, :, None]
+    if psum_axis is not None:
+        logits = jax.lax.psum(logits, psum_axis)
+        # full-range K mask from the (replicated) per-position cardinality
+        B_all = info.block_size
+        card = jax.lax.dynamic_slice(dg.var_card, (c * B_all + ti.off,),
+                                     (Bh,))
+        kmask = jnp.where(jnp.arange(info.max_card)[None, :]
+                          < card[:, None], 0.0, -1e30)
+    else:
+        kmask = _tc(ts.cm_kmask, c, (Bh, info.max_card))
+    masked = logits + kmask[:, :, None]
     g = jax.random.gumbel(key, masked.shape, dtype=masked.dtype)
     return jnp.argmax(masked + g, axis=1).astype(values.dtype)
 
@@ -433,7 +515,7 @@ def color_draw_tier(dg, ts, ti, values, weights, key, c, info,
     """Draw new candidate values [B_t, NC] for one tier of color ``c``."""
     if ti.hub:
         return hub_color_draw(dg, ts, ti, values, weights, key, c, info,
-                              modes)
+                              modes, folded_t)
     if folded_t is not None and tier_modes(ti, modes)[1] != "off":
         seed = jax.lax.bitcast_convert_type(key, jnp.int32).reshape(-1)[:2]
         D = ti.degree
@@ -457,7 +539,12 @@ def color_draw_tier(dg, ts, ti, values, weights, key, c, info,
                               seed, ti.band_w, TB, D, K,
                               interpret=(modes[1] == "interpret"))
     if info.all_boolean and info.max_card == 2:
-        delta = color_delta_bool(ts, ti, values, weights, c, info, modes)
+        if ti.deltam and folded_t is not None:
+            delta = color_delta_multilin(ts, ti, values, c, info, folded_t,
+                                         modes)
+        else:
+            delta = color_delta_bool(ts, ti, values, weights, c, info,
+                                     modes)
         u = jax.random.uniform(key, delta.shape, dtype=delta.dtype)
         return (u < jax.nn.sigmoid(delta)).astype(values.dtype)
     logits = color_logits_mc(dg, ts, ti, values, weights, c, info, modes)
@@ -771,8 +858,7 @@ def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
                       (1, rc) + tail)[0]
         present = ti.present_funcs or info.present_funcs
         band = tier_modes(ti, modes)[0]
-        use_kernel = (GRAD_MODE == "kernel"
-                      or (GRAD_MODE == "auto" and band == "interpret"))
+        use_kernel = GRAD_MODE != "xla"
         if (ti.affine2 and W <= 64 and band in ("pallas", "interpret")
                 and not info.has_sparse_cw and n_graph == 1
                 and row_chunk is None and use_kernel):
@@ -785,10 +871,11 @@ def mc_weight_gradient_cs(dg, v_ev, v_free, learn_non_evidence: bool, info,
             coefsrc = ts.gd_cown if learn_non_evidence else ts.gd_ctch
             for c in range(C):
                 parts = grad_pair_tile(
-                    v_both, ts.bd_nbr, ts.bd_start[c], ts.gd_meta,
-                    ts.gd_wid, coefsrc, c, own0=c * gB + ti.off,
+                    v_both, ts.bd_nbr, ts.bd_start[c], ts.gd_wid, coefsrc,
+                    ts.gd_ao, ts.gd_an, ts.gd_ax, c,
+                    own0=c * gB + ti.off,
                     W=ti.band_w, TB=ti.band_tb, D=D, n_weights=W,
-                    present=present, interpret=(band == "interpret"))
+                    interpret=(band == "interpret"))
                 grad = grad + jnp.sum(parts, axis=(0, 1))[:W] / NC
             continue
         rc = row_chunk or _grad_row_chunk(ti, Bl, D, A, 2 * NC)

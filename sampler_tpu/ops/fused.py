@@ -220,6 +220,34 @@ def fold_affine_cat(ts, ti, C: int, weights):
     return row(av), row(bv), kmask
 
 
+def fold_deltam(ts, ti, C: int, weights):
+    """Weight-folded multilinear delta coefficients for one deltam tier:
+    (base [C*B] flat, b1 [C*B*D] flat, b2, bx — the last two None for
+    pairwise tiers, whose cross terms are identically zero) with
+    base = Σ_d wf·a and b* = wf·coeff (wf = weights[wid]·feat).
+
+    Pairwise tiers carry their coefficients in ab_a/ab_b (the affine
+    analysis — identical algebra), with dm_* left as [C, 1, 1]
+    placeholders; arity-3 tiers use the dm_* corner streams.  Outputs
+    stay FLAT — they live across the whole sweep scan, and a resident
+    [C, B, D] form would tile-pad 128/D in HBM."""
+    import jax.numpy as jnp
+
+    from ..compile import tier_geom
+    from .weights import expand_wf
+
+    B, D, _ = tier_geom(ts, ti, C)
+    wf = expand_wf(weights, ts.cs_wid, ts.cs_feat)     # record order
+    a_src = ts.dm_a if ts.dm_a.size != C else ts.ab_a
+    b1_src = ts.dm_b1 if ts.dm_b1.size != C else ts.ab_b
+    base = jnp.sum((wf * a_src).reshape(C, B, D), axis=-1).reshape(-1)
+    b1 = (wf * b1_src).reshape(-1)
+    if ts.dm_b2.size == C:                 # pairwise: no cross terms
+        return (base, b1, None, None)
+    return (base, b1, (wf * ts.dm_b2).reshape(-1),
+            (wf * ts.dm_x).reshape(-1))
+
+
 def fused_mode() -> str:
     """'auto' | 'on' | 'interpret' | 'off' (env SAMPLER_TPU_FUSED)."""
     return os.environ.get("SAMPLER_TPU_FUSED", "auto").lower()
@@ -285,6 +313,12 @@ def _fused_kernel(starts_ref, seed_ref, coff_ref, nbr_ref, beta_ref,
     from jax.experimental.pallas import tpu as pltpu
 
     t = pl.program_id(0)
+    # stream blocks are (1, 8, R) — Mosaic requires the penultimate block
+    # dim divisible by 8, and a [.., 1, R] at-rest layout would tile-pad
+    # 8x in HBM — so 8 consecutive tiles share one fetched block (Pallas
+    # skips the refetch while the block index t//8 repeats) and each
+    # invocation selects its row
+    j = jax.lax.rem(t, 8)
     start = pl.multiple_of(starts_ref[t], 256)
     copy = pltpu.make_async_copy(
         values_ref.at[pl.ds(start, W), :], win_ref, sem)
@@ -298,9 +332,10 @@ def _fused_kernel(starts_ref, seed_ref, coff_ref, nbr_ref, beta_ref,
         pltpu.prng_seed(seed_ref[0], tseed)
 
     R = D * TB
-    il = nbr_ref[0] - start                            # [1, R] d-major
+    il = nbr_ref[0, pl.ds(j, 1), :] - start            # [1, R] d-major
     iota = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
-    moh = jnp.where(il == iota, beta_ref[0], 0.0)      # β-scaled one-hot
+    moh = jnp.where(il == iota, beta_ref[0, pl.ds(j, 1), :],
+                    0.0)                               # β-scaled one-hot
     # reduce the D slot planes: columns are d-major, so each plane is a
     # whole-register slice [W, TB]
     M = moh[:, :TB]
@@ -326,7 +361,7 @@ def _fused_kernel(starts_ref, seed_ref, coff_ref, nbr_ref, beta_ref,
     # base arrives as a [1, TB] row (block (1, 1, TB) of the [C, nt, TB]
     # fold — a [.., TB, 1] layout would tile-pad 128x at rest); transpose
     # to a column in VMEM for the per-row broadcast
-    delta = delta + base_ref[0].reshape(TB, 1)
+    delta = delta + base_ref[0, pl.ds(j, 1), :].reshape(TB, 1)
 
     if interpret:
         bits = _portable_bits(delta.shape, seed_ref[0], tseed)
@@ -364,7 +399,10 @@ def fused_color_draw(values, nbr_dmaj, starts, beta, base, c, seed,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    ntiles = nbr_dmaj.shape[1]
+    ntiles = starts.shape[0]          # REAL tiles (arrays may pad axis 1)
+    assert nbr_dmaj.shape[1] % 8 == 0, (
+        "kernel streams need ntiles % 8 == 0 (compile pads tier blocks "
+        "to band_tile*8)")
     R = D * TB
     P, NC = values.shape
     coff = jnp.reshape(jnp.asarray(c, jnp.int32), (1,))
@@ -374,9 +412,10 @@ def fused_color_draw(values, nbr_dmaj, starts, beta, base, c, seed,
         num_scalar_prefetch=3,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((1, 1, R), lambda t, s, z, co: (co[0], t, 0)),
-            pl.BlockSpec((1, 1, R), lambda t, s, z, co: (co[0], t, 0)),
-            pl.BlockSpec((1, 1, TB), lambda t, s, z, co: (co[0], t, 0)),
+            pl.BlockSpec((1, 8, R), lambda t, s, z, co: (co[0], t // 8, 0)),
+            pl.BlockSpec((1, 8, R), lambda t, s, z, co: (co[0], t // 8, 0)),
+            pl.BlockSpec((1, 8, TB),
+                         lambda t, s, z, co: (co[0], t // 8, 0)),
             pl.BlockSpec(memory_space=pl.ANY),                    # values
         ],
         out_specs=pl.BlockSpec((TB, NC), lambda t, s, z, co: (t, 0)),
@@ -422,6 +461,7 @@ def _cat_kernel(starts_ref, seed_ref, coff_ref, nbr_ref, eqo_ref, eqn_ref,
     from jax.experimental.pallas import tpu as pltpu
 
     t = pl.program_id(0)
+    j = jax.lax.rem(t, 8)              # row within the (1, 8, R) block
     start = pl.multiple_of(starts_ref[t], 256)
     copy = pltpu.make_async_copy(
         values_ref.at[pl.ds(start, W), :], win_ref, sem)
@@ -432,7 +472,7 @@ def _cat_kernel(starts_ref, seed_ref, coff_ref, nbr_ref, eqo_ref, eqn_ref,
         pltpu.prng_seed(seed_ref[0], tseed)
 
     R = D * TB
-    il = nbr_ref[0] - start                            # [1, R] d-major
+    il = nbr_ref[0, pl.ds(j, 1), :] - start            # [1, R] d-major
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
     oh = (il == iota_w).astype(jnp.int8)               # [W, R]
     copy.wait()
@@ -443,10 +483,10 @@ def _cat_kernel(starts_ref, seed_ref, coff_ref, nbr_ref, eqo_ref, eqn_ref,
     NC = acc.shape[-1]
     # streams arrive as [1, R] rows (a [.., R, 1] HBM array would tile-pad
     # its trailing 1 to 128 lanes); transpose to columns once in VMEM
-    eqn = eqn_ref[0].reshape(R, 1)
-    av = av_ref[0].reshape(R, 1)
-    bv = bv_ref[0].reshape(R, 1)
-    eqo = eqo_ref[0].reshape(R, 1)
+    eqn = eqn_ref[0, pl.ds(j, 1), :].reshape(R, 1)
+    av = av_ref[0, pl.ds(j, 1), :].reshape(R, 1)
+    bv = bv_ref[0, pl.ds(j, 1), :].reshape(R, 1)
+    eqo = eqo_ref[0, pl.ds(j, 1), :].reshape(R, 1)
     e = (acc == eqn).astype(jnp.float32)               # [R, NC]
     contrib = av + bv * e                              # [R, NC]
 
@@ -500,20 +540,21 @@ def fused_cat_draw(values, nbr_dmaj, starts, eqo, eqn, av, bv, kmask, c,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    ntiles = nbr_dmaj.shape[1]
+    ntiles = starts.shape[0]          # REAL tiles (arrays may pad axis 1)
     R = D * TB
     P, NC = values.shape
     coff = jnp.reshape(jnp.asarray(c, jnp.int32), (1,))
     kern = partial(_cat_kernel, W=W, TB=TB, D=D, K=K, interpret=interpret)
+    rmap = lambda t, s, z, co: (co[0], t // 8, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((1, 1, R), lambda t, s, z, co: (co[0], t, 0)),
-            pl.BlockSpec((1, 1, R), lambda t, s, z, co: (co[0], t, 0)),
-            pl.BlockSpec((1, 1, R), lambda t, s, z, co: (co[0], t, 0)),
-            pl.BlockSpec((1, 1, R), lambda t, s, z, co: (co[0], t, 0)),
-            pl.BlockSpec((1, 1, R), lambda t, s, z, co: (co[0], t, 0)),
+            pl.BlockSpec((1, 8, R), rmap),
+            pl.BlockSpec((1, 8, R), rmap),
+            pl.BlockSpec((1, 8, R), rmap),
+            pl.BlockSpec((1, 8, R), rmap),
+            pl.BlockSpec((1, 8, R), rmap),
             pl.BlockSpec((1, 1, TB, K),
                          lambda t, s, z, co: (co[0], t, 0, 0)),   # kmask
             pl.BlockSpec(memory_space=pl.ANY),                    # values

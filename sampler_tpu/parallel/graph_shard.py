@@ -56,11 +56,10 @@ def check_shardable(info, n_graph: int) -> None:
     tiers must keep whole band tiles per shard.  Compile with
     ``compile_graph(g, align=8*n_graph, shards=n_graph)``."""
     for t, ti in enumerate(info.tiers):
-        if ti.hub:
+        if ti.hub and ti.chunks % n_graph:
             raise ValueError(
-                "graph sharding does not support chunked-CSR hub tiers "
-                f"yet (tier {t}); raise compile_graph(hub_cap=...) above "
-                "the max degree, or run without --n_graph_shards")
+                f"hub tier {t} chunk count {ti.chunks} not divisible by "
+                f"graph axis {n_graph}; compile with shards={n_graph}")
         if ti.block % n_graph:
             raise ValueError(
                 f"tier {t} block {ti.block} not divisible by graph axis "
@@ -150,11 +149,23 @@ def _sharded_color_step(dg_l, values, weights, key, c, sample_evidence, info,
 
     for t, (ts, ti) in enumerate(zip(dg_l.tiers, info.tiers)):
         kt = jax.random.fold_in(key, t) if multi else key
-        drawn = color_draw_tier(dg_l, ts, ti, values, weights, kt, c, info,
-                                folded[t], modes)
+        Bl = ti.block // n_graph
+        if ti.hub:
+            # hub tiers shard CHUNKS, not rows: every device evaluates its
+            # local chunks, the partial row sums psum over 'graph' inside
+            # hub_color_draw, and each device keeps its own row slice
+            from ..engine.multichain import hub_color_draw
+
+            drawn_full = hub_color_draw(dg_l, ts, ti, values, weights, kt,
+                                        c, info, modes, folded[t],
+                                        psum_axis="graph")
+            drawn = jax.lax.dynamic_slice(drawn_full, (g * Bl, 0),
+                                          (Bl, NC))
+        else:
+            drawn = color_draw_tier(dg_l, ts, ti, values, weights, kt, c,
+                                    info, folded[t], modes)
         resample = (ts.cm_resample_ev[c] if sample_evidence
                     else ts.cm_resample[c])
-        Bl = ti.block // n_graph
         start = c * B + ti.off + g * Bl
         old = jax.lax.dynamic_slice(values, (start, 0), (Bl, NC))
         new = jnp.where(resample[:, None], drawn, old)
@@ -263,7 +274,9 @@ def _dg_specs(dg) -> DeviceGraph:
         out = {}
         for name in ts._fields:
             a = getattr(ts, name)
-            if name.startswith(("cs_", "cm_", "ab_")):
+            if name.startswith(("cs_", "cm_", "ab_", "dm_", "hb_")):
+                # hb_row [C, M] co-shards its chunk axis with the hub cs_
+                # chunk runs; placeholders [C, 1] replicate like the rest
                 # axis 1 is the tier's record/row run — per-color 2-D
                 # [C, N] (tiers_2d relayout of flat device streams), [C, B]
                 # draw masks, or legacy host [C, B, D, A]: a contiguous

@@ -72,7 +72,11 @@ def test_banded_sweep_bitwise_equals_gather_sweep(monkeypatch, mode):
     g.w_init[:] = [0.4, -0.3]
     dg_b, info_b = compile_graph(g, colors=colors, band_tile=8,
                                  band_min_block=1)
-    dg_p, info_p = compile_graph(g, colors=colors, band_tile=0)
+    # band_wmax=0 defeats the window plan while keeping the band-tile
+    # block padding, so both compilations share one layout, one RNG
+    # stream, and one (multilinear) delta path
+    dg_p, info_p = compile_graph(g, colors=colors, band_tile=8,
+                                 band_min_block=1, band_wmax=0)
     assert info_b.band_w > 0 and info_p.band_w == 0
     assert dg_b.cs_mask.shape == dg_p.cs_mask.shape
     key = jax.random.PRNGKey(7)

@@ -69,10 +69,17 @@ def test_infer_mc_at_lane_width_runs_fast_paths():
 
 
 def test_prepare_fold_guards_non_affine_graphs():
-    # a fused mode string must not crash on a graph with no affine plan
+    # a fused mode string must not crash on a graph with no affine plan;
+    # boolean arity<=2 tiers still fold their multilinear delta streams
+    # (round-5: deltam covers every boolean tier <= arity 3)
     from sampler_tpu.engine.multichain import prepare_fold
     g = ising_grid(3, 3)
     dg, info = compile_graph(g)       # tiny: banding/affine off
     assert not info.affine2
-    assert prepare_fold(to_device(dg), np.zeros(3, np.float32), info,
-                        ("interpret", "interpret")) is None
+    folded = prepare_fold(to_device(dg), np.zeros(3, np.float32), info,
+                          ("interpret", "interpret"))
+    assert folded is not None and len(folded) == len(info.tiers)
+    for f, ti in zip(folded, info.tiers):
+        assert (f is None) == (not ti.deltam)
+        if f is not None:
+            assert len(f) == 4 and f[2] is None    # pairwise: no cross

@@ -80,7 +80,7 @@ def test_affine_fold_reproduces_delta_exactly():
 def test_fused_draw_bernoulli_rate_and_determinism():
     """Kernel-level: beta=0, base=logit(p) ⇒ the draw is Bernoulli(p);
     same seed ⇒ identical bits; different seed ⇒ different bits."""
-    ntiles, TB, D, W, NC = 4, 8, 2, 128, 64
+    ntiles, TB, D, W, NC = 8, 8, 2, 128, 64
     P = 256
     values = jnp.zeros((P, NC), jnp.int8)
     nbr = jnp.zeros((1, ntiles, D * TB), jnp.int32)
@@ -154,6 +154,11 @@ def test_prepare_fold_gates_on_modes():
     g, colors, _ = _banded_evidence_grid()
     dg, info = compile_graph(g, colors=colors, band_tile=8, band_min_block=1)
     dgj = to_device(dg)
-    assert prepare_fold(dgj, dgj.w_init, info, PLAIN) is None
+    # fused OFF: the affine2 tier still folds its multilinear delta
+    # coefficients (round-5 deltam — 4-tuple, no cross terms pairwise)
+    f_plain = prepare_fold(dgj, dgj.w_init, info, PLAIN)
+    assert f_plain is not None and len(f_plain[0]) == 4
+    assert f_plain[0][2] is None
+    # fused ON: the same tier folds the kernel streams instead
     folded = prepare_fold(dgj, dgj.w_init, info, FUSED)
     assert folded is not None and folded[0][0].ndim == 3  # tier 0 beta

@@ -111,10 +111,11 @@ def test_grad_kernel_imply_linear_variants():
 
 def test_grad_kernel_unary_counts_factors():
     """Arity-1 AND/OR/EQUAL factors inside an affine2 (pairwise) tier: the
-    record's neighbor slot is a masked pad that gathers value 0, and with
-    pos_n=False it must NOT count as a satisfied literal (round-4 advisor
-    finding: sign-flipped unary AND gradient).  The nvalid bit packed in
-    gd_meta bit 24 guards this."""
+    record's neighbor slot is a masked pad, and its gathered value must
+    NOT influence the gradient (round-4 advisor finding: the v1 kernel's
+    in-kernel literal masking sign-flipped unary AND).  In the
+    moment-factored kernel the masked slot gives an = ax = 0 at compile
+    time, so the class of bug is structural — this test pins it."""
     rng = np.random.default_rng(11)
     rows = cols = 16
     V = rows * cols

@@ -18,11 +18,12 @@ def test_scale_demo_pipeline(capsys):
     assert out["band_w"] > 0
     assert out["halo"] is not None and sum(out["halo"]) < 4 - 1
     # memory budget sanity: chunked compile + narrow dtypes keep the full
-    # device image under ~400 B/var for the pairwise benchmark shape
-    # (was 350 before the round-4 fused-gradient streams gd_meta/gd_wid/
-    # gd_cown/gd_ctch added ~22 B/var to affine2 tiers — a deliberate
-    # trade for halving the learning epoch)
-    assert out["memory"]["bytes_per_var"] < 400
+    # device image under ~425 B/var for the pairwise benchmark shape
+    # (350 pre-round-4; the gradient-kernel streams then the round-5
+    # moment coefficients gd_ao/gd_an/gd_ax added ~60 B/var to affine2
+    # tiers — deliberate trades for the fused learning path; inference-
+    # only runs can strip them, see scale_tpu)
+    assert out["memory"]["bytes_per_var"] < 425
 
 
 def test_memory_budget_fields():
