@@ -56,8 +56,12 @@ def render():
          d.get("categorical_updates_per_s"), d.get("categorical_modes")),
         ("arity-3 boolean (512x512)",
          d.get("arity3_updates_per_s"), d.get("arity3_modes")),
-        ("KBC power-law (5e5 vars, skew+window+hub tier, 128 chains)",
+        ("KBC power-law (5e5 vars, skew+window+hub tier, 1024 chains)",
          d.get("kbc_updates_per_s"), d.get("kbc_modes")),
+        ("categorical weight-learning updates/s (both worlds)",
+         d.get("categorical_learning_updates_per_s"), None),
+        ("KBC weight-learning updates/s (2e5 vars, both worlds)",
+         d.get("kbc_learning_updates_per_s"), None),
     ]
     out = [f"Source artifact: `{src}` (all numbers measured on one TPU "
            "v5 lite chip by `python bench.py`; absolute rates vary "
