@@ -142,6 +142,16 @@ class TierStreams(NamedTuple):
     dm_b1: np.ndarray      # f32 [C, B, D] d(1,0) − d(0,0)
     dm_b2: np.ndarray      # f32 [C, B, D] d(0,1) − d(0,0)
     dm_x: np.ndarray       # f32 [C, B, D] d(1,1)−d(1,0)−d(0,1)+d(0,0)
+    # fused multilinear draw kernel (TierInfo.fusedm — banded boolean
+    # arity<=3 tiers the pairwise affine kernel can't serve: arity-3
+    # and/or multi-window).  Neighbor stream in kernel block layout,
+    # SLOT-major then d-major within tile: row (s, d, b) = s*D*TB + d*TB
+    # + b, so the kernel's gathered [A1*D*TB, NC] accumulator splits into
+    # per-slot planes acc[:R], acc[R:2R] that line up with the d-major
+    # dm coefficient rows.  band_k >= 2 tiers store indices REMAPPED into
+    # the concatenated K*W window space (like bd_rnbr); band_k == 1 tiers
+    # store global positions (kernel subtracts the window start).
+    bd_dmnbr: np.ndarray   # int32 [C, ntiles, A1*D*TB] ([C,1,1] when off)
     # precomputed draw masks (runtime comparisons against sliced metadata
     # trigger a pathological Mosaic lowering — ~400x slower — so these are
     # baked at compile time and streamed):
@@ -229,6 +239,7 @@ class TierInfo:
     affine2: bool = False  # fused affine color step available
     affinek: bool = False  # K-candidate fused color step available
     deltam: bool = False  # multilinear delta-phi streams available (dm_*)
+    fusedm: bool = False  # fused multilinear draw kernel available
     hub: bool = False     # chunked-CSR hub tier (degree > hub_cap)
     chunks: int = 0       # M: padded chunks per color (hub tier)
     chunk_g: int = 0      # G: records per chunk (hub tier)
@@ -252,6 +263,7 @@ class CompileInfo:
     bounds: bool = False        # ALL tiers have true read bounds (halo ok)
     affine2: bool = False       # any tier runs the fused affine step
     affinek: bool = False       # any tier runs the K-candidate fused step
+    fusedm: bool = False        # any tier runs the fused multilinear draw
     has_hub: bool = False       # a chunked-CSR hub tier is present
     has_sparse_cw: bool = False  # sparse per-combination weights present
     tiers: tuple = ()           # TierInfo per tier (ascending degree)
@@ -578,6 +590,7 @@ def compile_graph(graph: FactorGraph, colors: np.ndarray | None = None,
         bounds=all(ti.bounds for ti in tier_infos),
         affine2=any(ti.affine2 for ti in tier_infos),
         affinek=any(ti.affinek for ti in tier_infos),
+        fusedm=any(ti.fusedm for ti in tier_infos),
         has_hub=n_hub > 0,
         has_sparse_cw=has_cw,
         tiers=tuple(tier_infos),
@@ -876,6 +889,29 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
     else:
         dm_a = dm_b1 = dm_b2 = dm_x = np.zeros((C, 1, 1), np.float32)
 
+    # --- fused multilinear draw kernel (ops/fused.py fused_dm_draw): the
+    # banded boolean tiers the pairwise affine kernel can't serve — arity-3
+    # (cross term b_x·n1·n2 breaks the single-matmul affine form) and/or
+    # multi-window (band_k >= 2).  The draw becomes one K-window DMA, one
+    # [K·W, A1·D·TB] one-hot int8 MXU gather of BOTH neighbor slots, a
+    # ~6-op VPU multilinear combine, and an on-core PRNG Bernoulli — no
+    # [B, D, A1, NC] literal tensor ever touches HBM (the round-5 XLA
+    # multilin path's remaining cost).
+    fusedm = bool(deltam and not affine2 and band_w > 0 and band_k >= 1
+                  and A1 >= 1)
+    if fusedm:
+        nt_f = bd_start.shape[1]
+        fusedm = bool(nt_f % 8 == 0 and Bt % nt_f == 0
+                      and Bt // nt_f == band_tile)
+    if fusedm:
+        TBf = band_tile
+        src = bd_rnbr if band_k >= 2 else cs_nbr.reshape(C, Bt * D * A1)
+        bd_dmnbr = (src.reshape(C, nt_f, TBf, D, A1)
+                    .transpose(0, 1, 4, 3, 2)
+                    .reshape(C, nt_f, A1 * D * TBf).copy())
+    else:
+        bd_dmnbr = np.zeros((C, 1, 1), np.int32)
+
     # --- draw masks ---------------------------------------------------------
     cm_view = lambda a: a[:-1].reshape(C, B)[:, off_t:off_t + Bt]
     cm_card = cm_view(var_card).copy()
@@ -899,6 +935,7 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
         gd_wid=gd_wid, gd_cown=gd_cown, gd_ctch=gd_ctch,
         gd_ao=gd_ao, gd_an=gd_an, gd_ax=gd_ax,
         dm_a=dm_a, dm_b1=dm_b1, dm_b2=dm_b2, dm_x=dm_x,
+        bd_dmnbr=bd_dmnbr,
         cm_kmask=cm_kmask, cm_resample=cm_resample,
         cm_resample_ev=cm_resample_ev,
         hb_row=np.zeros((C, 1), np.int32),
@@ -908,6 +945,7 @@ def _build_tier(t: int, off_t: int, Bt: int, C: int, B: int, P: int,
         band_w=band_w, band_tb=band_tile if band_w else 0,
         band_k=band_k,
         bounds=bounds, affine2=affine2, affinek=affinek, deltam=deltam,
+        fusedm=fusedm,
         present_funcs=present_t,
     )
     return ts, ti
@@ -1103,6 +1141,7 @@ def _build_hub_tier(off_t: int, Bt: int, C: int, B: int, P: int,
         gd_an=np.zeros((C, 1, 1), np.float32),
         gd_ax=np.zeros((C, 1, 1), np.float32),
         dm_a=dm_a, dm_b1=dm_b1, dm_b2=dm_b2, dm_x=dm_x,
+        bd_dmnbr=np.zeros((C, 1, 1), np.int32),
         cm_kmask=cm_kmask, cm_resample=cm_resample,
         cm_resample_ev=cm_resample_ev,
         hb_row=hb_row,

@@ -221,7 +221,7 @@ def tier_modes(ti, modes) -> tuple:
     band, fused = modes
     if ti.band_w <= 0:
         band = "off"
-    if not (ti.affine2 or ti.affinek):
+    if not (ti.affine2 or ti.affinek or getattr(ti, "fusedm", False)):
         fused = "off"
     return band, fused
 
@@ -443,9 +443,11 @@ def prepare_fold(dg, weights, info, modes):
     for tiers no folded path covers), or None when nothing folds.  Called
     OUTSIDE the sweep loops — the fold includes a weights gather that
     must be amortized over many sweeps."""
-    from ..ops.fused import fold_affine, fold_affine_cat, fold_deltam
+    from ..ops.fused import (fold_affine, fold_affine_cat, fold_deltam,
+                             fold_deltam_tiles)
 
-    use_fused = modes[1] != "off" and (info.affine2 or info.affinek)
+    use_fused = modes[1] != "off" and (
+        info.affine2 or info.affinek or getattr(info, "fusedm", False))
     has_dm = DELTAM_MODE != "off" and any(
         getattr(ti, "deltam", False) for ti in info.tiers)
     if not (use_fused or has_dm):
@@ -457,6 +459,11 @@ def prepare_fold(dg, weights, info, modes):
             return fold_affine(ts, ti, info.n_colors, w)
         if ti.affinek and use_fused:
             return fold_affine_cat(ts, ti, info.n_colors, w)
+        if getattr(ti, "fusedm", False) and use_fused \
+                and DELTAM_MODE != "off":
+            # kernel block layout; color_draw_tier routes to fused_dm_draw
+            # under the SAME condition, so layouts can never cross paths
+            return fold_deltam_tiles(ts, ti, info.n_colors, w)
         if ti.deltam and DELTAM_MODE != "off":
             return fold_deltam(ts, ti, info.n_colors, w)
         return None
@@ -529,6 +536,15 @@ def color_draw_tier(dg, ts, ti, values, weights, key, c, info,
                                     folded_t[0], folded_t[1], c, seed,
                                     ti.band_w, ti.band_tb, D,
                                     interpret=(modes[1] == "interpret"))
+        if getattr(ti, "fusedm", False):
+            from ..ops.fused import fused_dm_draw
+
+            base, b1, b2, bx = folded_t        # fold_deltam_tiles layout
+            return fused_dm_draw(values, ts.bd_dmnbr, ts.bd_start[c],
+                                 base, b1, b2, bx, c, seed,
+                                 ti.band_w, ti.band_tb, D, ti.arity - 1,
+                                 ti.band_k,
+                                 interpret=(modes[1] == "interpret"))
         from ..ops.fused import fused_cat_draw
 
         K = info.max_card

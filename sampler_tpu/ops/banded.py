@@ -176,9 +176,12 @@ def plan_banding_multi(cs_nbr: np.ndarray, P: int, tb: int, w_max: int,
         nreal[c] = real.sum(axis=-1)
         srt.append(np.sort(np.where(real, idx, np.int64(P + 1)), axis=-1))
 
-    # pass 2: pick W — smallest per-tile gather volume K(W)*W that fits
+    # pass 2: pick W — smallest per-tile gather volume K(W)*W that fits.
+    # Candidates are capped at P ROUNDED DOWN to the lane width: a window
+    # wider than the values array cannot be DMA'd (the single-window plan
+    # enforces W <= P the same way)
     wcands, w = [], LANE * 4
-    w_hi = min(w_max, _round_up(P, LANE))
+    w_hi = min(w_max, (P // LANE) * LANE)
     while w <= w_hi:
         wcands.append(w)
         w *= 2

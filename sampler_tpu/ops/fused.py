@@ -248,6 +248,39 @@ def fold_deltam(ts, ti, C: int, weights):
             (wf * ts.dm_x).reshape(-1))
 
 
+def fold_deltam_tiles(ts, ti, C: int, weights):
+    """Weight-folded multilinear coefficients in KERNEL BLOCK LAYOUT for a
+    fusedm tier (TierInfo.fusedm): (base [C, nt, TB], b1 [C, nt, D*TB],
+    b2, bx — the last two None for pairwise tiers).  Same algebra as
+    fold_deltam, different at-rest shape: the fused_dm_draw kernel reads
+    (1, 8, R) / (1, 8, TB) blocks with an in-kernel row select, and the
+    last two dims are both large so the (8, 128) HBM tile padding is
+    negligible (see fold_affine)."""
+    import jax.numpy as jnp
+
+    from ..compile import tier_geom
+    from .weights import expand_wf
+
+    B, D, _ = tier_geom(ts, ti, C)
+    wf = expand_wf(weights, ts.cs_wid, ts.cs_feat)     # record order
+    a_src = ts.dm_a if ts.dm_a.size != C else ts.ab_a
+    b1_src = ts.dm_b1 if ts.dm_b1.size != C else ts.ab_b
+    TB = ti.band_tb
+    nt = B // TB
+
+    def row(x):
+        return (x.reshape(C, nt, TB, D).transpose(0, 1, 3, 2)
+                 .reshape(C, nt, D * TB))
+
+    base = jnp.sum((wf * a_src).reshape(C, B, D), axis=-1) \
+              .reshape(C, nt, TB)
+    b1 = row((wf * b1_src).reshape(C, B, D))
+    if ts.dm_b2.size == C:                 # pairwise: no cross terms
+        return (base, b1, None, None)
+    return (base, b1, row((wf * ts.dm_b2).reshape(C, B, D)),
+            row((wf * ts.dm_x).reshape(C, B, D)))
+
+
 def fused_mode() -> str:
     """'auto' | 'on' | 'interpret' | 'off' (env SAMPLER_TPU_FUSED)."""
     return os.environ.get("SAMPLER_TPU_FUSED", "auto").lower()
@@ -261,7 +294,8 @@ def resolve_fused(info, band: str, backend: str | None = None) -> str:
     — "no Mosaic anywhere" — must never route here.  Like resolve_band,
     call OUTSIDE jit so the decision is part of the jit cache key."""
     if not (getattr(info, "affine2", False)
-            or getattr(info, "affinek", False)):
+            or getattr(info, "affinek", False)
+            or getattr(info, "fusedm", False)):
         return "off"
     mode = fused_mode()
     if mode == "off":
@@ -581,3 +615,159 @@ def fused_cat_draw(values, nbr_dmaj, starts, eqo, eqn, av, bv, kmask, c,
                                          + TB * NC))),
         interpret=interpret,
     )(starts, seed, coff, nbr_dmaj, eqo, eqn, av, bv, kmask, values)
+
+
+# --------------------------------------------------------------------------
+# fused multilinear draw kernel (boolean arity <= 3, K-window banding)
+# --------------------------------------------------------------------------
+
+def _dm_kernel(starts_ref, seed_ref, coff_ref, nbr_ref, b1_ref, *rest,
+               W: int, TB: int, D: int, A1: int, Kw: int, interpret: bool):
+    """One tile of the fused multilinear color step.
+
+    Per tile: DMA the Kw value windows -> one [Kw*W, A1*D*TB] one-hot int8
+    MXU gather of BOTH neighbor slots -> VPU multilinear combine
+    b1*n1 + b2*n2 + bx*n1*n2 -> per-plane reduce -> sigmoid Bernoulli from
+    the on-core PRNG.  Serves the banded boolean tiers the affine kernel
+    can't: arity-3 (the cross term breaks the affine single-matmul form)
+    and multi-window pairwise (band_k >= 2 — any graph with >2 colors).
+    TPU-native replacement for the arity-3 branch of the reference's
+    sample_single_variable inner loop (SURVEY.md §3.2, §2b LINEAR/IMPLY
+    family)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if A1 == 2:
+        b2_ref, bx_ref, base_ref, values_ref, out_ref, win_ref, sem = rest
+    else:
+        base_ref, values_ref, out_ref, win_ref, sem = rest
+
+    t = pl.program_id(0)
+    j = jax.lax.rem(t, 8)              # row within the (1, 8, R) block
+    copies = []
+    start0 = None
+    for k in range(Kw):                                # static unroll
+        s = starts_ref[t] if Kw == 1 else starts_ref[t, k]
+        start = pl.multiple_of(s, 256)
+        if k == 0:
+            start0 = start
+        cp = pltpu.make_async_copy(
+            values_ref.at[pl.ds(start, W), :],
+            win_ref.at[pl.ds(k * W, W), :], sem.at[k])
+        cp.start()
+        copies.append(cp)
+    knuth = jnp.int32(-1640531535)                     # 0x9E3779B1
+    tseed = seed_ref[1] ^ (t * knuth)
+    if not interpret:
+        pltpu.prng_seed(seed_ref[0], tseed)
+
+    R = D * TB
+    il = nbr_ref[0, pl.ds(j, 1), :]                    # [1, A1*R]
+    if Kw == 1:
+        # single window: stream holds GLOBAL positions (multi-window
+        # streams arrive pre-remapped into the concatenated window space)
+        il = il - start0
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (Kw * W, A1 * R), 0)
+    oh = (il == iota_w).astype(jnp.int8)               # [Kw*W, A1*R]
+    for cp in copies:
+        cp.wait()
+    acc = jax.lax.dot_general(
+        oh, win_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)              # [A1*R, NC]
+    f32 = jnp.float32
+    n1 = acc[:R].astype(f32)
+    # coefficient streams arrive as [1, R] rows (a [.., R, 1] HBM array
+    # would tile-pad its trailing 1 to 128 lanes); columns in VMEM
+    b1 = b1_ref[0, pl.ds(j, 1), :].reshape(R, 1)
+    contrib = b1 * n1                                  # [R, NC]
+    if A1 == 2:
+        n2 = acc[R:].astype(f32)
+        b2 = b2_ref[0, pl.ds(j, 1), :].reshape(R, 1)
+        bx = bx_ref[0, pl.ds(j, 1), :].reshape(R, 1)
+        contrib = contrib + b2 * n2 + bx * (n1 * n2)
+    # reduce the D slot planes: columns are d-major, so each plane is a
+    # whole-register slice [TB, NC]
+    delta = contrib[:TB]
+    for d in range(1, D):                              # static unroll
+        delta = delta + contrib[d * TB:(d + 1) * TB]
+    delta = delta + base_ref[0, pl.ds(j, 1), :].reshape(TB, 1)
+
+    if interpret:
+        bits = _portable_bits(delta.shape, seed_ref[0], tseed)
+    else:
+        bits = pltpu.prng_random_bits(delta.shape)
+    # sign-safe 24-bit uniform (see _fused_kernel)
+    u24 = jax.lax.shift_right_logical(
+        bits, jnp.asarray(8, bits.dtype)).astype(jnp.int32) \
+        & jnp.int32(0xFFFFFF)
+    u = u24.astype(jnp.float32) * jnp.float32(2.0 ** -24) \
+        + jnp.float32(2.0 ** -25)
+    out_ref[:] = (u < jax.nn.sigmoid(delta)).astype(out_ref.dtype)
+
+
+def fused_dm_draw(values, dm_nbr, starts, base, b1, b2, bx, c, seed,
+                  W: int, TB: int, D: int, A1: int, Kw: int,
+                  interpret: bool = False):
+    """Run the fused multilinear color step for color ``c`` of one tier.
+
+    values [P, NC]; dm_nbr [C, ntiles, A1*D*TB] int32 (ALL colors,
+    slot-major then d-major — compile.bd_dmnbr); starts [ntiles] (Kw == 1,
+    global window starts) or [ntiles, Kw] (multi-window DMA starts);
+    base [C, ntiles, TB] f32 and b1/b2/bx [C, ntiles, D*TB] f32 from
+    fold_deltam_tiles (b2/bx None for pairwise tiers); c int32 scalar;
+    seed int32[2].  Returns drawn values [ntiles*TB, NC].  The color rides
+    a scalar prefetch into the index maps — no per-color stream slices in
+    the hot loop (see fused_color_draw)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ntiles = starts.shape[0]          # REAL tiles (arrays may pad axis 1)
+    assert dm_nbr.shape[1] % 8 == 0, (
+        "kernel streams need ntiles % 8 == 0 (compile pads tier blocks "
+        "to band_tile*8*shards)")
+    R = D * TB
+    P, NC = values.shape
+    coff = jnp.reshape(jnp.asarray(c, jnp.int32), (1,))
+    kern = partial(_dm_kernel, W=W, TB=TB, D=D, A1=A1, Kw=Kw,
+                   interpret=interpret)
+    rmap = lambda t, s, z, co: (co[0], t // 8, 0)
+    in_specs = [pl.BlockSpec((1, 8, A1 * R), rmap),
+                pl.BlockSpec((1, 8, R), rmap)]
+    operands = [dm_nbr, b1]
+    if A1 == 2:
+        in_specs += [pl.BlockSpec((1, 8, R), rmap),
+                     pl.BlockSpec((1, 8, R), rmap)]
+        operands += [b2, bx]
+    in_specs += [pl.BlockSpec((1, 8, TB), rmap),
+                 pl.BlockSpec(memory_space=pl.ANY)]    # values stay in HBM
+    operands += [base, values]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ntiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TB, NC), lambda t, s, z, co: (t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Kw * W, NC), values.dtype),
+            pltpu.SemaphoreType.DMA((Kw,)),
+        ],
+    )
+    from .banded import out_vma
+
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (ntiles * TB, NC), values.dtype,
+            vma=out_vma(values, dm_nbr, starts, base, b1, seed, coff,
+                        *[x for x in (b2, bx) if x is not None])),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ntiles * A1 * R * Kw * W * NC,
+            transcendentals=ntiles * TB * NC,
+            bytes_accessed=int(ntiles * (A1 * R * 4 + (A1 + 1) * R * 4
+                                         + Kw * W * NC + 2 * TB * NC))),
+        interpret=interpret,
+    )(starts, seed, coff, *operands)
