@@ -229,15 +229,21 @@ def main():
                              f"{str(e)[:200]}\n")
             return None, ("error",)
 
+    # class chain batches: the fused kernels' one-hot build is
+    # chain-count-INDEPENDENT, so wide batches amortize it — measured on
+    # silicon (round-5): categorical 5.8e9 -> 1.25e10 at 128 -> 512
+    # chains, arity-3 2.5e9 -> 1.3e10 at 128 -> 1024 with the fused
+    # multilinear kernel.  Real independent chains pooled into the
+    # tallies, the same statistical contract as the flagship's 512.
     c_grid = int(os.environ.get("BENCH_CAT_GRID", "512"))
     c_card = int(os.environ.get("BENCH_CAT_CARD", "4"))
-    c_chains = int(os.environ.get("BENCH_CAT_CHAINS", "128"))
+    c_chains = int(os.environ.get("BENCH_CAT_CHAINS", "512"))
     cat_rate, cat_modes = guarded("categorical", lambda: bench_class(
         lambda: big_potts_grid(c_grid, c_grid, card=c_card),
         f"categorical {c_grid}x{c_grid} card={c_card}", c_chains, inner,
         outer))
     t_grid = int(os.environ.get("BENCH_TRI_GRID", "512"))
-    t_chains = int(os.environ.get("BENCH_TRI_CHAINS", "128"))
+    t_chains = int(os.environ.get("BENCH_TRI_CHAINS", "1024"))
     tri_rate, tri_modes = guarded("arity3", lambda: bench_class(
         lambda: big_triple_grid(t_grid, t_grid),
         f"arity3 {t_grid}x{t_grid}", t_chains, inner, outer))
