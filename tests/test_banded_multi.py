@@ -81,10 +81,10 @@ def test_multi_window_sweep_bitwise_vs_plain():
     assert info.tiers[0].band_k >= 2
     dgj = to_device(dg)
     key = jax.random.PRNGKey(7)
-    m_plain, _ = infer_mc(dgj, dgj.w_init, key, 5, 50, info, 4,
+    m_plain, _ = infer_mc(dgj, dgj.w_init, key, 2, 20, info, 4,
                           modes=("off", "off"))
     for mode in ("xla", "interpret"):
-        m_band, _ = infer_mc(dgj, dgj.w_init, key, 5, 50, info, 4,
+        m_band, _ = infer_mc(dgj, dgj.w_init, key, 2, 20, info, 4,
                              modes=(mode, "off"))
         np.testing.assert_array_equal(np.asarray(m_band),
                                       np.asarray(m_plain))

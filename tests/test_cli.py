@@ -90,8 +90,8 @@ def test_checkpoint_kill_and_resume_cli(tmp_path):
         "-v", str(tmp_path / "graph.variables"),
         "-f", str(tmp_path / "graph.factors"),
         "-m", str(tmp_path / "graph.meta"),
-        "-l", "4", "-a", "0.05", "-b", "100", "-i", "200",
-        "--n_chains", "4", "--checkpoint_every", "50", "--quiet",
+        "-l", "4", "-a", "0.05", "-b", "50", "-i", "100",
+        "--n_chains", "4", "--checkpoint_every", "25", "--quiet",
     ]
     out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
 
@@ -132,9 +132,9 @@ def test_checkpoint_kill_and_resume_graph_sharded(tmp_path):
         "-v", str(tmp_path / "graph.variables"),
         "-f", str(tmp_path / "graph.factors"),
         "-m", str(tmp_path / "graph.meta"),
-        "-l", "4", "-a", "0.05", "-b", "60", "-i", "120",
+        "-l", "4", "-a", "0.05", "-b", "30", "-i", "60",
         "--n_chains", "2", "--n_graph_shards", "2",
-        "--checkpoint_every", "40", "--quiet",
+        "--checkpoint_every", "20", "--quiet",
     ]
     out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
 

@@ -104,23 +104,25 @@ def test_fusedm_draw_bernoulli_rate_and_determinism():
     R = D * TB
     nbr = jnp.zeros((1, ntiles, A1 * R), jnp.int32)
     b1 = b2 = bx = jnp.zeros((1, ntiles, R), jnp.float32)
-    for Kw, starts in ((1, jnp.zeros((ntiles,), jnp.int32)),
-                       (2, jnp.zeros((ntiles, 2), jnp.int32))):
-        for p_target in (0.3, 0.85):
-            logit = float(np.log(p_target / (1 - p_target)))
-            base = jnp.full((1, ntiles, TB), logit, jnp.float32)
-            draw = lambda s: fused_dm_draw(
-                values, nbr, starts, base, b1, b2, bx, 0,
-                jnp.asarray([s, s ^ 77], jnp.int32),
-                W, TB, D, A1, Kw, interpret=True)
-            outs = np.stack([np.asarray(draw(s)) for s in range(12)])
-            rate = outs.mean()
-            assert abs(rate - p_target) < 0.02, (Kw, p_target, rate)
-            np.testing.assert_array_equal(np.asarray(draw(5)),
-                                          np.asarray(draw(5)))
-            assert (np.asarray(draw(5)) != np.asarray(draw(6))).any()
-            per_tile = outs.reshape(12, ntiles, TB, NC)
-            assert not np.array_equal(per_tile[:, 0], per_tile[:, 1])
+    # one rate per window mode (0.3 single / 0.85 multi) keeps the four
+    # kernel properties covered at half the interpret-mode dispatches
+    for Kw, starts, p_target in (
+            (1, jnp.zeros((ntiles,), jnp.int32), 0.3),
+            (2, jnp.zeros((ntiles, 2), jnp.int32), 0.85)):
+        logit = float(np.log(p_target / (1 - p_target)))
+        base = jnp.full((1, ntiles, TB), logit, jnp.float32)
+        draw = lambda s: fused_dm_draw(
+            values, nbr, starts, base, b1, b2, bx, 0,
+            jnp.asarray([s, s ^ 77], jnp.int32),
+            W, TB, D, A1, Kw, interpret=True)
+        outs = np.stack([np.asarray(draw(s)) for s in range(8)])
+        rate = outs.mean()
+        assert abs(rate - p_target) < 0.02, (Kw, p_target, rate)
+        np.testing.assert_array_equal(np.asarray(draw(5)),
+                                      np.asarray(draw(5)))
+        assert (np.asarray(draw(5)) != np.asarray(draw(6))).any()
+        per_tile = outs.reshape(8, ntiles, TB, NC)
+        assert not np.array_equal(per_tile[:, 0], per_tile[:, 1])
 
 
 def test_fusedm_inference_matches_oracle_arity3():
@@ -130,10 +132,10 @@ def test_fusedm_inference_matches_oracle_arity3():
     dg, info = _compile_banded(g, colors)
     assert info.fusedm and info.tiers[0].band_k == 1
     marg, _ = infer_mc(to_device(dg), dg.w_init, jax.random.PRNGKey(3),
-                       100, 1500, info, 16, modes=FUSED)
+                       100, 1000, info, 16, modes=FUSED)
     exact = oracle.exact_marginals(g, clamp_evidence=True)
     err = np.abs(np.asarray(marg)[query, :2] - exact[query])
-    assert err.max() < 0.02, f"max |Δp| = {err.max():.4f}"
+    assert err.max() < 0.025, f"max |Δp| = {err.max():.4f}"
 
 
 def test_fusedm_inference_matches_oracle_multiwindow():
@@ -149,10 +151,10 @@ def test_fusedm_inference_matches_oracle_multiwindow():
     dg, info = _compile_banded(g, colors, band_wmax=512)
     assert info.fusedm and info.tiers[0].band_k >= 2
     marg, _ = infer_mc(to_device(dg), dg.w_init, jax.random.PRNGKey(5),
-                       100, 1200, info, 16, modes=FUSED)
+                       100, 700, info, 16, modes=FUSED)
     exact = oracle.exact_marginals(g, clamp_evidence=True)
     err = np.abs(np.asarray(marg)[query, :2] - exact[query])
-    assert err.max() < 0.025, f"max |Δp| = {err.max():.4f}"
+    assert err.max() < 0.03, f"max |Δp| = {err.max():.4f}"
 
 
 def test_fusedm_matches_unfused_distribution():

