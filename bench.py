@@ -142,15 +142,21 @@ def bench_kbc(n_chains, inner, outer):
 
     # 5e5 vars default; the round-5 flat at-rest layout removed the old
     # tile-padding OOM (BENCH_KBC_VARS=4000000 runs on the chip — the r4
-    # cap was 5e5 with a 1e6 OOM)
+    # cap was 5e5 with a 1e6 OOM).  hub_cap=256: the tier DP never splits
+    # the power-law degree tail (measured: the [15, 1976] tail pads its
+    # dense tier ~15x — 22.8M padded records over 1.5M real edges at 4e6
+    # vars), so mid-degree variables route to the O(edges) chunked-CSR
+    # hub tier instead; 4e6-var throughput went 2.7e8 -> 1.29e9 with this
+    # cap + 1024 chains (the users' --hub_cap flag, same tuning surface)
     n_vars = int(os.environ.get("BENCH_KBC_VARS", "500000"))
+    hub_cap = int(os.environ.get("BENCH_KBC_HUBCAP", "256"))
     n_fac = 3 * n_vars
     g = random_kbc_graph(n_vars, n_fac, max_arity=3, n_weights=100_000,
                          seed=0, skew=1.1, window=2000)
     colors = greedy_coloring(g)
     order = rcm_order(g)
     dg, info = compile_graph(g, colors=colors, order=order,
-                             band_wmax=32768)
+                             band_wmax=32768, hub_cap=hub_cap)
     dgj = to_device(dg)
     modes = resolve_modes(info)
     band_k = max((ti.band_k for ti in info.tiers), default=0)

@@ -104,16 +104,28 @@ def effective_chains(info, modes, n_chains: int, n_positions: int,
     return new
 
 
+@partial(jax.jit, static_argnames=("n_chains", "dt"))
+def _init_values_random(var_init, var_card, var_role, key, n_chains, dt):
+    # jitted so XLA fuses bits -> modulo -> select into the single int8
+    # output: the eager version materialized an int32 [P, NC] randint temp
+    # (16 GB at 4e6 vars x 1024 chains — the r5 KBC wide-chain OOM was
+    # HERE, not in the sweep)
+    P = var_card.shape[0]
+    base = jnp.broadcast_to(var_init.astype(dt)[:, None], (P, n_chains))
+    r = jax.random.randint(key, (P, n_chains), 0, 1 << 30, dtype=jnp.int32)
+    rand_vals = (r % jnp.maximum(var_card, 1)[:, None]).astype(dt)
+    return jnp.where((var_role == 0)[:, None], rand_vals, base)
+
+
 def init_values_mc(dg, key, n_chains: int, info, random_init: bool = True):
     """Initial worlds [P, NC]: evidence at labels, query random per chain."""
     P = dg.var_card.shape[0]
     dt = values_dtype(info)
-    base = jnp.broadcast_to(dg.var_init.astype(dt)[:, None], (P, n_chains))
     if not random_init:
-        return base
-    r = jax.random.randint(key, (P, n_chains), 0, 1 << 30, dtype=jnp.int32)
-    rand_vals = (r % jnp.maximum(dg.var_card, 1)[:, None]).astype(dt)
-    return jnp.where((dg.var_role == 0)[:, None], rand_vals, base)
+        return jnp.broadcast_to(dg.var_init.astype(dt)[:, None],
+                                (P, n_chains))
+    return _init_values_random(dg.var_init, dg.var_card, dg.var_role, key,
+                               n_chains, dt)
 
 
 def _eval_phi_ax2(lits, mask, f_type, f_arity, present, hmask=None):
