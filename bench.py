@@ -283,7 +283,9 @@ def main():
     kbc_lrate = learn_leg("kbc", mk_kbc,
                           int(os.environ.get("BENCH_KBC_LEARN_CHAINS",
                                              "256")),
-                          band_wmax=32768)
+                          band_wmax=32768,
+                          hub_cap=int(os.environ.get("BENCH_KBC_HUBCAP",
+                                                     "256")))
 
     # the irregular KBC class (VERDICT r3 #4): skew + window + hub tier +
     # RCM on the chip, through the same shipped inference path.  1024

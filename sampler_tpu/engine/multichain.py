@@ -646,7 +646,8 @@ def run_sweeps_mc(dg, values, weights, key, n_sweeps: int,
 
 
 @partial(jax.jit,
-         static_argnames=("n_sweeps", "sample_evidence", "info", "modes"))
+         static_argnames=("n_sweeps", "sample_evidence", "info", "modes"),
+         donate_argnums=(1,))
 def _run_inference_mc(dg, values, weights, key, n_sweeps: int,
                       sample_evidence: bool, info, modes):
     """Returns (values [P,NC], counts flat [K*P] row-major [K, P],

@@ -119,6 +119,41 @@ def affine_pairwise(cs_pos, cs_mask, cs_ismine, cs_hmask, cs_type,
 # runtime weight fold (XLA, jit-able; once per weights value)
 # --------------------------------------------------------------------------
 
+def _fold_base(x, C: int, B: int, D: int, TB: int):
+    """[C, nt, TB] per-row sum over D of a flat d-minor stream.
+
+    For small D the obvious ``x.reshape(C, B, D).sum(-1)`` materializes a
+    [.., D]-minor HLO temp that XLA tile-pads (8, 128) — 25.6x at D = 5,
+    a 12.5 GB phantom that OOM'd the 5120^2 fold on chip.  D strided
+    slices of the FLAT stream (all 1-D temps, linear tiling) avoid every
+    small-minor-dim layout; large D keeps the reshape (minor >= 64 pads
+    <= 2x and the slice unroll would dominate compile time)."""
+    import jax.numpy as jnp
+
+    nt = B // TB
+    if D >= 64:
+        return jnp.sum(x.reshape(C, B, D), axis=-1).reshape(C, nt, TB)
+    acc = x[0::D]
+    for d in range(1, D):
+        acc = acc + x[d::D]
+    return acc.reshape(C, nt, TB)
+
+
+def _fold_rows(x, C: int, B: int, D: int, TB: int):
+    """[C, nt, D*TB] d-major kernel rows from a flat d-minor stream —
+    same strided-slice trick as _fold_base (the [C, nt, TB, D] transpose
+    input is another [.., D]-minor padded temp)."""
+    import jax.numpy as jnp
+
+    nt = B // TB
+    if D >= 64:
+        return (x.reshape(C, nt, TB, D).transpose(0, 1, 3, 2)
+                 .reshape(C, nt, D * TB))
+    planes = [x[d::D].reshape(C, nt, TB) for d in range(D)]
+    # stacked [C, nt, D, TB]: minor dims (D, TB) pad D -> 8 only (< 1.6x)
+    return jnp.stack(planes, axis=2).reshape(C, nt, D * TB)
+
+
 def fold_affine(ts, ti, C: int, weights):
     """(beta [C, ntiles, D*TB] d-major, base [C, ntiles, TB]) for one
     tier's streams (``ts``: compile.TierStreams, ``ti``: TierInfo).
@@ -129,8 +164,6 @@ def fold_affine(ts, ti, C: int, weights):
     Output layouts keep the last two dims large (no (8, 128) tile-padding
     blowup at rest: a [.., TB, 1] base padded 128x, a [.., 1, R] beta 8x);
     the kernels read blocks (1, 1, R) / (1, 1, TB) at (c, t, 0)."""
-    import jax.numpy as jnp
-
     from ..compile import tier_geom
     from .weights import expand_wf
 
@@ -139,13 +172,9 @@ def fold_affine(ts, ti, C: int, weights):
     # over C*B*D rows is issue-rate bound and cost 1.7x a whole fused sweep
     # per epoch (profile_learn, r2 #8)
     wf = expand_wf(weights, ts.cs_wid, ts.cs_feat)     # record order
-    beta = (wf * ts.ab_b).reshape(C, B, D)
-    base = jnp.sum((wf * ts.ab_a).reshape(C, B, D), axis=-1)   # [C, B]
     TB = ti.band_tb
-    nt = B // TB
-    beta = beta.reshape(C, nt, TB, D).transpose(0, 1, 3, 2) \
-               .reshape(C, nt, D * TB)
-    base = base.reshape(C, nt, TB)
+    beta = _fold_rows((wf * ts.ab_b).reshape(-1), C, B, D, TB)
+    base = _fold_base((wf * ts.ab_a).reshape(-1), C, B, D, TB)
     return beta, base
 
 
@@ -207,17 +236,12 @@ def fold_affine_cat(ts, ti, C: int, weights):
 
     B, D, _ = tier_geom(ts, ti, C)
     wf = expand_wf(weights, ts.cs_wid, ts.cs_feat)     # record order
-    av = (wf * ts.cs_cka).reshape(C, B, D)
-    bv = (wf * ts.cs_ckb).reshape(C, B, D)
     TB = ti.band_tb
     nt = B // TB
-
-    def row(x):
-        return (x.reshape(C, nt, TB, D).transpose(0, 1, 3, 2)
-                 .reshape(C, nt, D * TB))
-
+    av = _fold_rows((wf * ts.cs_cka).reshape(-1), C, B, D, TB)
+    bv = _fold_rows((wf * ts.cs_ckb).reshape(-1), C, B, D, TB)
     kmask = jnp.reshape(ts.cm_kmask, (C, nt, TB, -1))
-    return row(av), row(bv), kmask
+    return av, bv, kmask
 
 
 def fold_deltam(ts, ti, C: int, weights):
@@ -240,7 +264,14 @@ def fold_deltam(ts, ti, C: int, weights):
     wf = expand_wf(weights, ts.cs_wid, ts.cs_feat)     # record order
     a_src = ts.dm_a if ts.dm_a.size != C else ts.ab_a
     b1_src = ts.dm_b1 if ts.dm_b1.size != C else ts.ab_b
-    base = jnp.sum((wf * a_src).reshape(C, B, D), axis=-1).reshape(-1)
+    # strided-slice row sum (see _fold_base): no [.., D]-minor padded temp
+    x = (wf * a_src).reshape(-1)
+    if D >= 64:
+        base = jnp.sum(x.reshape(C, B, D), axis=-1).reshape(-1)
+    else:
+        base = x[0::D]
+        for d in range(1, D):
+            base = base + x[d::D]
     b1 = (wf * b1_src).reshape(-1)
     if ts.dm_b2.size == C:                 # pairwise: no cross terms
         return (base, b1, None, None)
@@ -266,19 +297,13 @@ def fold_deltam_tiles(ts, ti, C: int, weights):
     a_src = ts.dm_a if ts.dm_a.size != C else ts.ab_a
     b1_src = ts.dm_b1 if ts.dm_b1.size != C else ts.ab_b
     TB = ti.band_tb
-    nt = B // TB
-
-    def row(x):
-        return (x.reshape(C, nt, TB, D).transpose(0, 1, 3, 2)
-                 .reshape(C, nt, D * TB))
-
-    base = jnp.sum((wf * a_src).reshape(C, B, D), axis=-1) \
-              .reshape(C, nt, TB)
-    b1 = row((wf * b1_src).reshape(C, B, D))
+    base = _fold_base((wf * a_src).reshape(-1), C, B, D, TB)
+    b1 = _fold_rows((wf * b1_src).reshape(-1), C, B, D, TB)
     if ts.dm_b2.size == C:                 # pairwise: no cross terms
         return (base, b1, None, None)
-    return (base, b1, row((wf * ts.dm_b2).reshape(C, B, D)),
-            row((wf * ts.dm_x).reshape(C, B, D)))
+    return (base, b1,
+            _fold_rows((wf * ts.dm_b2).reshape(-1), C, B, D, TB),
+            _fold_rows((wf * ts.dm_x).reshape(-1), C, B, D, TB))
 
 
 def fused_mode() -> str:

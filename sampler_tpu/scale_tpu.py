@@ -68,6 +68,17 @@ def main(argv=None):
     gc.collect()
 
     modes = resolve_modes(info)
+    # inference-only run: drop the gradient-only streams (gd_* moment
+    # kernel rows + ownership masks) before device placement — ~3.4 GB at
+    # 2.6e7 vars that sample_single_variable-equivalent sweeps never read
+    C = info.n_colors
+    z3 = np.zeros((C, 1, 1), np.float32)
+    dg = dg._replace(tiers=tuple(
+        ts._replace(gd_wid=np.zeros((C, 1, 1), np.int32),
+                    gd_cown=z3, gd_ctch=z3, gd_ao=z3, gd_an=z3, gd_ax=z3,
+                    cs_gowner=np.zeros((C, 1, 1), bool),
+                    cs_gtouch=np.zeros((C, 1, 1), bool))
+        for ts in dg.tiers))
     dgj = to_device(dg)
     del dg
     gc.collect()
