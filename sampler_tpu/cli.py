@@ -63,7 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--hub_cap", type=int, default=2048,
                    help="variables with more incident factors than this go "
                         "to the chunked-CSR hub tier (power-law heads); "
-                        "not compatible with --n_graph_shards yet")
+                        "composes with --n_graph_shards (chunks shard over "
+                        "the graph axis).  For power-law graphs a LOW cap "
+                        "(e.g. 256) often wins big: the degree tail pads "
+                        "its dense tier ~15x otherwise (README Limits)")
     g.add_argument("--hub_chunk", type=int, default=512,
                    help="records per hub-tier chunk")
     g.add_argument("--n_graph_shards", type=int, default=1,
